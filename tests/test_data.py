@@ -1,0 +1,158 @@
+"""Data layer: contact extraction, binarization, augmentation, datasets,
+synthetic fixtures, loaders."""
+
+import numpy as np
+import pytest
+
+from tactilesr_tpu.data import (
+    HostLoader,
+    SingleTapSeqsDataset,
+    TactileSRDataset,
+    TPSFNetDataset,
+    augment_rotations,
+    binarize_depth,
+    epoch_batches,
+    extract_contact_seqs,
+    generate_rotate_dataset,
+    load_raw_dataset,
+    make_tap_record,
+    write_raw_blob,
+)
+
+
+def _ref_extract(tactile_lrs, threshold_scale=0.1, sample_count=-1):
+    """Independent numpy transcription of the reference extraction loop."""
+    ret = []
+    z_max, max_idx = 0, 0
+    for i in range(tactile_lrs.shape[0]):
+        lr = tactile_lrs[i].reshape(16, 3)
+        lz = lr[:, 2].reshape(4, 4)
+        if lz.sum() > z_max:
+            z_max = lz.sum()
+            max_idx = i
+    for i in range(max_idx):
+        lr = tactile_lrs[i].reshape(16, 3)
+        lx, ly, lz = (lr[:, c].reshape(4, 4) for c in range(3))
+        if lz.sum() > z_max * threshold_scale:
+            ret.append([np.flip(lx, 0), np.flip(ly, 0), np.flip(lz, 0)])
+    ret = np.array(ret)
+    if sample_count > 0 and len(ret):
+        n = min(sample_count, ret.shape[0])
+        idx = np.linspace(0, ret.shape[0] - 1, n).astype(np.int16)
+        ret = ret[idx]
+    return ret
+
+
+def test_extract_contact_seqs_matches_reference_semantics(rng):
+    rec = make_tap_record(0, rng, seqs=50)
+    got = extract_contact_seqs(rec["LRs"], 0.1, -1)
+    want = _ref_extract(rec["LRs"], 0.1, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    got_s = extract_contact_seqs(rec["LRs"], 0.3, 16)
+    want_s = _ref_extract(rec["LRs"], 0.3, 16)
+    assert got_s.shape == want_s.shape == (16, 3, 4, 4)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
+
+
+def test_binarize_depth_two_pass_semantics(rng):
+    # bimodal input with near-zero background (realistic depth map):
+    # result is fully binary
+    d = np.where(rng.random((100, 100)) > 0.6, 4.0, 0.0).astype(np.float32)
+    d += 0.05 * np.abs(rng.standard_normal((100, 100))).astype(np.float32)
+    out = binarize_depth(d)
+    assert set(np.unique(out)).issubset({0.0, 1.0})
+
+    # sequential two-pass semantics hold for ANY input: first threshold on
+    # the original array, second on the modified one
+    d2 = rng.uniform(0, 5, (100, 100)).astype(np.float32)
+    ref = d2.copy()
+    t1 = ref.min() * 0.5 + ref.max() * 0.5
+    ref[ref > t1] = 1
+    t2 = ref.min() * 0.5 + ref.max() * 0.5
+    ref[~(ref > t2)] = 0
+    np.testing.assert_array_equal(binarize_depth(d2), ref)
+
+
+def test_binarize_depth_resizes():
+    d = np.zeros((64, 64), np.float32)
+    d[20:40, 20:40] = 2.0
+    out = binarize_depth(d, depth_pixel=100)
+    assert out.shape == (100, 100)
+
+
+def test_augment_rotations_joint():
+    lr = np.arange(3 * 16, dtype=np.float32).reshape(3, 4, 4)
+    depth = np.arange(100.0, dtype=np.float32).reshape(10, 10)
+    out = augment_rotations([{"LR": lr, "depth": depth}])
+    assert len(out) == 4
+    np.testing.assert_array_equal(out[1]["LR"][0], np.rot90(lr[0], 1))
+    np.testing.assert_array_equal(out[3]["depth"], np.rot90(depth, 3))
+
+
+def test_load_raw_dataset_and_slicing(tmp_path, rng):
+    path = write_raw_blob(str(tmp_path / "X.npy"), n_taps=5, seed=1, seqs=48)
+    all_samples = load_raw_dataset(path, sample_cnt=8, is_sample_idx=None)
+    assert len(all_samples) == 5 * 8  # each tap yields sample_cnt frames
+    assert all_samples[0]["LR"].shape == (3, 4, 4)
+    assert all_samples[0]["depth"].shape == (100, 100)
+
+    sliced = load_raw_dataset(path, sample_cnt=8, is_sample_idx=[1, 3])
+    assert len(sliced) == 16
+    np.testing.assert_array_equal(sliced[0]["LR"], all_samples[8]["LR"])
+
+    aug = load_raw_dataset(path, sample_cnt=8, is_sample_idx=[0], is_aug_data=True)
+    assert len(aug) == 32
+
+
+def test_tpsf_dataset_walks_directory(tmp_path):
+    generate_rotate_dataset(str(tmp_path), names=("A", "B"), taps_per_blob=3, seqs=40)
+    ds = TPSFNetDataset(str(tmp_path), sample_cnt=4, is_sample_idx=[0, 1], is_aug_data=False)
+    assert len(ds) == 2 * 4 * 2  # 2 blobs x 2 taps x 4 samples
+    lr, depth = ds[0]
+    assert lr.shape == (3, 4, 4) and depth.shape == (100, 100)
+    a, b = ds.stacked()
+    assert a.shape[0] == b.shape[0] == len(ds)
+
+
+def test_single_tap_dataset(tmp_path):
+    path = write_raw_blob(str(tmp_path / "I.npy"), n_taps=8, seed=2, seqs=64)
+    ds = SingleTapSeqsDataset(path, [3], 10)
+    assert len(ds) == 10
+
+
+def test_sr_dataset_legacy_and_npz(tmp_path, rng):
+    lr = rng.random((6, 3, 4, 4)).astype(np.float32)
+    hr = rng.random((6, 1, 100, 100)).astype(np.float32)
+    # legacy layout: object array of singleton [dict] rows
+    legacy = np.empty(6, dtype=object)
+    for i in range(6):
+        legacy[i] = [{"LR": lr[i], "HR": hr[i], "depth": hr[i]}]
+    np.save(tmp_path / "legacy.npy", legacy, allow_pickle=True)
+    ds1 = TactileSRDataset(str(tmp_path / "legacy.npy"))
+    np.testing.assert_array_equal(ds1.stacked()[0], lr)
+    np.testing.assert_array_equal(ds1.stacked()[1], hr)
+
+    np.savez(tmp_path / "fast.npz", LR=lr, HR=hr)
+    ds2 = TactileSRDataset(str(tmp_path / "fast.npz"))
+    np.testing.assert_array_equal(ds2.stacked()[0], lr)
+
+
+def test_epoch_batches_padding_and_mask():
+    batches = list(epoch_batches(10, 4, shuffle=False))
+    assert len(batches) == 3
+    idx, mask = batches[-1]
+    assert len(idx) == 4 and mask.sum() == 2
+    # drop_last
+    assert len(list(epoch_batches(10, 4, shuffle=False, drop_last=True))) == 2
+
+
+def test_host_loader_shuffles_deterministically(rng):
+    a = np.arange(10)[:, None].astype(np.float32)
+    l1 = HostLoader((a,), batch_size=4, shuffle=True, seed=7)
+    l2 = HostLoader((a,), batch_size=4, shuffle=True, seed=7)
+    b1 = [x for (x, m) in l1]
+    b2 = [x for (x, m) in l2]
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x, y)
+    assert len(l1) == 3
