@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Headline benchmark: TactileSR (STSR, full size) inference throughput on
+one chip -- SR frames/sec at the full 4x4 -> 40x40 upscale, bf16 compute.
+
+Baseline (BASELINE.md north star): > 10,000 frames/sec/chip.
+``vs_baseline`` = measured / 10,000.
+
+Prints exactly ONE JSON line on stdout.  Diagnostics go to stderr.
+
+Measurement notes for tunneled TPUs (axon): ``block_until_ready`` does not
+reliably await remote completion, so every sync point here is a scalar
+``device_get`` of the latest output; throughput is measured by dispatching a
+pipeline of ``iters`` steps and timing to the final fetch, which amortizes
+the tunnel's round-trip latency the same way a production serving loop does.
+A small-op drain poll runs first so a backlogged relay doesn't pollute the
+numbers.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FPS = 10_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def wait_for_quiet(jnp, jax, patience_s: float = 300.0) -> None:
+    x = jnp.ones((8, 128))
+    deadline = time.time() + patience_s
+    while time.time() < deadline:
+        t0 = time.time()
+        float(jnp.sum(x + 1.0))
+        dt = time.time() - t0
+        log(f"drain poll: {dt*1e3:.0f} ms")
+        if dt < 0.5:
+            return
+        time.sleep(5)
+    log("warning: device queue never went quiet; measuring anyway")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.models.tactile_sr import TactileSR
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    wait_for_quiet(jnp, jax)
+
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=1,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=6,
+        force_feature_extra_layer_cnt=1,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    init_x = jnp.asarray(rng.random((8, 3, 4, 4)).astype(np.float32))
+    t0 = time.time()
+    variables = model.init(jax.random.key(0), init_x, train=False)
+    log(f"init: {time.time()-t0:.1f}s")
+
+    @jax.jit
+    def forward(variables, x):
+        return model.apply(variables, x, train=False)
+
+    best_fps = 0.0
+    best_batch = 0
+    for batch in (512, 1024, 2048):
+        x = jax.device_put(rng.random((batch, 3, 4, 4)).astype(np.float32))
+        t0 = time.time()
+        out = forward(variables, x)
+        float(jnp.asarray(out[0, 0, 0, 0]))  # true sync (compile + warm)
+        log(f"batch {batch}: compile+warm {time.time()-t0:.1f}s")
+        iters = 12
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward(variables, x)
+        float(jnp.asarray(out[0, 0, 0, 0]))  # drain the pipeline
+        dt = time.perf_counter() - t0
+        fps = batch * iters / dt
+        log(f"batch {batch}: {fps:,.0f} frames/s ({dt/iters*1e3:.2f} ms/iter)")
+        if fps > best_fps:
+            best_fps, best_batch = fps, batch
+
+    log(f"best: batch {best_batch} -> {best_fps:,.0f} frames/s")
+    print(
+        json.dumps(
+            {
+                "metric": "sr_inference_throughput",
+                "value": round(best_fps, 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(best_fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,23 @@ checkpointing, and multi-device scaling over a jax.sharding Mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def maybe_force_platform() -> None:
+    """Honor ``$TACTILESR_PLATFORM`` (e.g. 'cpu', 'tpu') even when a site
+    plugin pinned another jax platform at interpreter start.  Must run
+    before any jax backend is initialized; entry scripts call this first."""
+    plat = _os.environ.get("TACTILESR_PLATFORM")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # backend already initialized; leave as-is
+            pass
+
+
 from . import metrics, models, ops
 
-__all__ = ["metrics", "models", "ops", "__version__"]
+__all__ = ["metrics", "models", "ops", "maybe_force_platform", "__version__"]

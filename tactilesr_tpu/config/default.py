@@ -1,0 +1,127 @@
+"""Default configs: plain dicts merged over a common block.
+
+Schema parity with the reference's config surface (config/default.py): the
+same keys drive the same knobs -- batch sizes, lr/scheduler/warmup blocks,
+model hyperparameters, dataset paths, checkpoint/eval cadence.  Differences:
+- ``root_path`` comes from ``$TACTILESR_ROOT`` (default: CWD) instead of a
+  hard-coded '/code';
+- ``compute_dtype`` selects the TPU compute precision (bf16 by default;
+  'float32' for strict-parity evals);
+- device selection is trivial on TPU (jax picks the chip); the reference's
+  import-time nvidia-smi GPU scan maps to :func:`device`.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = [
+    "common_config",
+    "tPSFNet_config",
+    "tactileSR_config",
+    "tactileSeqs_config",
+    "root_path",
+    "device",
+]
+
+root_path = os.environ.get("TACTILESR_ROOT", os.getcwd())
+
+common_config = {
+    "root_path": root_path,
+    "random_seed": 42,
+    "deterministic": False,
+    "scale_num": 100,  # raw taxel readings are divided by this
+    "compute_dtype": "bfloat16",
+}
+
+# ---------------------------------------------------------------- tPSFNet
+tPSFNet_config = {
+    **common_config,
+    "train_batch_size": 256,
+    "test_batch_size": 8,
+    "gama": 1.4,
+    "perception_scale": None,
+    "loss_scale": 1e-1,
+    "lr": 1e-4,
+    "lr_scheduler_step_size": 1,
+    "lr_scheduler_gamma": 0.8,
+    "checkpoint_period": 1,
+    "weight_decay": 1e-5,
+    "epochs": 51,
+    "sample_cnt": 32,
+    "dataset_dir": os.path.join(root_path, "data/rotateDataset"),
+    "save_dir": os.path.join(root_path, "pth/tPSFNet_no_aug"),
+    "is_aug_data": False,
+    # inference-test params (alpha/beta-vs-force curves)
+    "inference_test": True,
+    "inference_index": 36,
+    "inference_seqs_length": 64,
+    "test_dataset_dir_1": os.path.join(root_path, "data/rotateDataset/I.npy"),
+    "test_dataset_dir_2": os.path.join(root_path, "data/rotateDataset/P.npy"),
+}
+
+# --------------------------------------------------------------- tactileSR
+tactileSR_config = {
+    **common_config,
+    "train_batch_size": 32,
+    "test_batch_size": 8,
+    "lr": 1e-3,
+    "weight_decay": 1e-2,
+    "lr_scheduler_step_size": 2,
+    "lr_scheduler_gamma": 0.8,
+    "checkpoint_period": 1,
+    "HR_scale_num": 10,
+    # PSNR max value; the code passes this value itself (not /HR_scale_num)
+    "sensorMaxVaule_factor": 250,
+    "epochs": 51,
+    "warmup_t": 2000,
+    # NB: the reference entry script never forwards warmup_by_epoch, so the
+    # effective value is False; we keep the key for schema parity.
+    "warmup_by_epoch": True,
+    "warmup_mode": "auto",
+    "warmup_init_lr": 1e-5,
+    "warmup_factor": 1e-4,
+    "scale_factor": 10,
+    "seqsCnt": 1,
+    "axisCnt": 3,
+    "patternFeatureExtraLayerCnt": 6,
+    "forceFeatureExtraLayerCnt": 1,
+    "inference_test": True,
+    "save_dir": os.path.join(root_path, "pth/tactileSR_single"),
+    "train_dataset_dir": os.path.join(root_path, "data/SRdataset/SRdataset_train.npz"),
+    "test_dataset_dir": os.path.join(root_path, "data/SRdataset/SRdataset_test.npz"),
+    "val_dataset_dir": os.path.join(
+        root_path, "data/SRdataset/SRdataset_validation.npz"
+    ),
+}
+
+# ------------------------------------------------------------- tactileSeqs
+tactileSeqs_config = {
+    **tactileSR_config,
+    "seqsCnt": 7,  # seqs length <= 7
+    "axisCnt": 3,
+    "lr": 1e-4,
+    "weight_decay": 1e-2,
+    "epochs": 51,
+    "load_checkpoint_dir": os.path.join(
+        root_path, "pth/tactileSR_single/checkpoints/epoch_50.ckpt"
+    ),
+    "save_dir": os.path.join(root_path, "pth/tactileSeqs_seq_7"),
+    "train_dataset_dir": os.path.join(
+        root_path, "data/SeqsDataset/SRdataset_train_32.npz"
+    ),
+    "test_dataset_dir": os.path.join(
+        root_path, "data/SeqsDataset/SRdataset_test_32.npz"
+    ),
+    "val_dataset_dir": os.path.join(
+        root_path, "data/SeqsDataset/SRdataset_validation_32.npz"
+    ),
+}
+
+
+def device():
+    """The accelerator the recipes run on (TPU equivalent of the reference's
+    import-time GPU pick: jax already orders devices sensibly)."""
+    import jax
+
+    return jax.devices()[0]

@@ -12,6 +12,11 @@ from .raw_process import (
     load_raw_dataset,
     load_seq_dataset_sr,
 )
+from .generate import (
+    generate_seqs_srdataset,
+    generate_single_srdataset,
+    tpsf_apply_batched,
+)
 from .synthetic import generate_rotate_dataset, make_tap_record, write_raw_blob
 
 __all__ = [
@@ -30,4 +35,7 @@ __all__ = [
     "generate_rotate_dataset",
     "make_tap_record",
     "write_raw_blob",
+    "generate_single_srdataset",
+    "generate_seqs_srdataset",
+    "tpsf_apply_batched",
 ]

@@ -59,7 +59,9 @@ def _press_sequence(
         profile[peak_t + 1 :] = np.linspace(0.8, 0.1, seqs - peak_t - 1)
 
     frames = np.zeros((seqs, 16, 3), np.float32)
-    base_force = rng.uniform(4.0, 10.0)
+    # raw taxel units: real recordings reach O(100-800) per taxel so that the
+    # /scale_num(=100) scaling lands in the O(1-8) range the models expect
+    base_force = rng.uniform(300.0, 800.0)
     for t in range(seqs):
         z = base_force * profile[t] * (taxel_area + 0.02)
         z = z * (1 + 0.05 * rng.standard_normal((4, 4)))

@@ -48,21 +48,20 @@ def setup_logger(
     """Idempotent logger setup: console handler on process 0 only; a
     per-process file handler when ``output_dir`` is given."""
     logger = logging.getLogger(name)
-    key = (name, output_dir, process_index)
-    if key in _LOGGER_INITIALIZED:
-        return logger
-    _LOGGER_INITIALIZED.add(key)
-
     logger.setLevel(level)
     logger.propagate = False
     fmt = "[%(asctime)s %(name)s %(levelname)s] %(message)s"
 
-    if process_index == 0:
+    console_key = (name, "console", process_index)
+    if process_index == 0 and console_key not in _LOGGER_INITIALIZED:
+        _LOGGER_INITIALIZED.add(console_key)
         ch = logging.StreamHandler(sys.stdout)
         ch.setFormatter(_ColorFormatter(fmt, datefmt="%m/%d %H:%M:%S"))
         logger.addHandler(ch)
 
-    if output_dir is not None:
+    file_key = (name, output_dir, process_index)
+    if output_dir is not None and file_key not in _LOGGER_INITIALIZED:
+        _LOGGER_INITIALIZED.add(file_key)
         os.makedirs(output_dir, exist_ok=True)
         fh = logging.FileHandler(
             os.path.join(output_dir, f"log_rank{process_index}.txt")

@@ -1,0 +1,453 @@
+"""Functional TPU trainer with a host-side hook bus.
+
+Contract parity with the reference runtime (cpu/trainer.py): epoch- or
+iter-based single-optimizer loop, subclass extension point for the loss,
+default hooks [LRUpdate, Checkpoint (proc 0), Logger (proc 0)], metric
+storage with window smoothing, NaN/Inf loss -> FloatingPointError,
+``epoch_{e}.ckpt`` + ``latest.ckpt`` checkpoints with strict=False partial
+model load and world-size assert on resume.
+
+TPU-native redesign:
+- the train step is ONE jitted function: on-device gather of the batch rows
+  by index (datasets live in HBM, replicated), forward+backward, optimizer
+  update, BN stat update.  Params/opt state are donated -- zero realloc.
+- nothing syncs per iteration: losses come back as device scalars and are
+  fetched in bulk every ``log_period`` (or at epoch end) by
+  ``flush_metrics``; NaN checks happen at flush, matching the reference's
+  FloatingPointError contract (cpu/trainer.py:281-284) with deferred timing.
+- the learning rate is a host scalar produced by the warmup schedule state
+  machine and fed to the step as an argument (never triggers a retrace).
+- under a multi-device mesh, batch indices are sharded over the 'data' axis
+  (=> batch sharded, grads all-reduced by XLA over ICI); single device works
+  identically with mesh=None.
+
+Subclasses implement ``train_cal_loss(params, batch_stats, batch) ->
+(loss, loss_dict, new_batch_stats)`` as a pure function of its inputs; the
+batch dict contains the gathered dataset rows plus a ``mask`` for the padded
+final batch of an epoch.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import os.path as osp
+import time
+import weakref
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from ..parallel.dist import get_world_size, is_main_process
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .checkpoint import (
+    CheckpointManager,
+    load_checkpoint_file,
+    merge_pytree_strict_false,
+)
+from .history import MetricStorage
+from .hooks import CheckpointHook, EvalHook, HookBase, LoggerHook, LRUpdateHook
+from .logger import setup_logger
+from .misc import collect_env
+from .optim import scale_updates_by_lr
+
+__all__ = ["Trainer", "TrainState", "masked_mse"]
+
+logger = logging.getLogger("tactilesr_tpu")
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def masked_mse(pred, target, mask):
+    """MSE over valid rows only (padded final-batch rows carry mask 0).
+    Equals torch nn.MSELoss() on the unpadded batch."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    m = mask.reshape((-1,) + (1,) * (pred.ndim - 1))
+    per_elem = math.prod(pred.shape[1:])
+    se = jnp.sum(jnp.square(pred - target) * m)
+    return se / (jnp.sum(mask) * per_elem)
+
+
+class Trainer:
+    """Epoch/iteration-based trainer over HBM-resident datasets."""
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        tx: optax.GradientTransformation,
+        lr_schedule,
+        train_arrays: Dict[str, np.ndarray],
+        batch_size: int,
+        max_epochs: int = 0,
+        max_iters: int = 0,
+        work_dir: str = "work_dir",
+        max_num_checkpoints: Optional[int] = None,
+        checkpoint_period: int = 1,
+        log_period: int = 50,
+        mesh=None,
+        seed: int = 42,
+    ):
+        assert (max_epochs > 0) ^ (max_iters > 0), (
+            "specify either max_epochs or max_iters"
+        )
+        self.model = model
+        self.tx = tx
+        self.lr_schedule = lr_schedule
+        self.work_dir = work_dir
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.metric_storage = MetricStorage()
+        self._rng = np.random.default_rng(seed)
+
+        self.train_by_epoch = max_epochs > 0
+        self.n_train = next(iter(train_arrays.values())).shape[0]
+        self.epoch_len = math.ceil(self.n_train / batch_size)
+        if self.train_by_epoch:
+            self.max_epochs = max_epochs
+            self.max_iters = max_epochs * self.epoch_len
+        else:
+            self.max_epochs = 0
+            self.max_iters = max_iters
+
+        self.cur_iter = 0
+        self.start_iter = 0
+
+        # --- device placement: data replicated, state replicated
+        if mesh is not None:
+            self._repl = replicated_sharding(mesh)
+            self._bshard = batch_sharding(mesh)
+            put = lambda x: jax.device_put(x, self._repl)
+        else:
+            self._repl = None
+            self._bshard = None
+            put = jax.device_put
+        self.device_arrays = {k: put(np.asarray(v)) for k, v in train_arrays.items()}
+        self.state = TrainState(
+            params=put(variables["params"]),
+            batch_stats=put(variables.get("batch_stats", {})),
+            opt_state=put(tx.init(variables["params"])),
+            step=put(jnp.zeros((), jnp.int32)),
+        )
+
+        self._hooks: List[HookBase] = []
+        self._pending: List[Tuple[int, Dict[str, Any], float, float, float]] = []
+        self._train_step = None
+        self._max_num_checkpoints = max_num_checkpoints
+        self._checkpoint_period = checkpoint_period
+        self._log_period = log_period
+        self.ckpt_manager = CheckpointManager(self.ckpt_dir, max_num_checkpoints)
+        self._default_setup()
+
+    # ------------------------------------------------------------------ api
+    @property
+    def lr(self) -> float:
+        return self.lr_schedule.get_lr()
+
+    @property
+    def inner_iter(self) -> int:
+        assert self.train_by_epoch
+        return self.cur_iter % self.epoch_len
+
+    @property
+    def cur_epoch(self) -> int:
+        assert self.train_by_epoch
+        return self.cur_iter // self.epoch_len
+
+    @property
+    def ckpt_dir(self) -> str:
+        return osp.join(self.work_dir, "checkpoints")
+
+    @property
+    def tb_log_dir(self) -> str:
+        return osp.join(self.work_dir, "tb_logs")
+
+    @property
+    def hook_info(self) -> List[str]:
+        return [f"{h.class_name} (priority {h.priority})" for h in self._hooks]
+
+    def log(self, *args, **kwargs) -> None:
+        self.metric_storage.update(*args, **kwargs)
+
+    # ------------------------------------------------------------ internals
+    def _default_setup(self) -> None:
+        setup_logger(
+            "tactilesr_tpu", output_dir=self.work_dir, process_index=jax.process_index()
+        )
+        logger.info("Environment info:\n%s", collect_env())
+        default_hooks: List[HookBase] = [LRUpdateHook()]
+        if is_main_process():
+            default_hooks += [
+                CheckpointHook(self._checkpoint_period, self._max_num_checkpoints),
+                LoggerHook(self._log_period, tb_log_dir=self.tb_log_dir),
+            ]
+        self.register_hooks(default_hooks)
+        logger.info("Registered default hooks: %s", self.hook_info)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        logger.info(
+            "Work dir: %s | ckpt dir: %s | tb dir: %s",
+            self.work_dir,
+            self.ckpt_dir,
+            self.tb_log_dir,
+        )
+
+    def register_hooks(self, hooks: List[HookBase]) -> None:
+        for h in hooks:
+            self.register_hook(h)
+
+    def register_hook(self, hook: HookBase) -> None:
+        assert isinstance(hook, HookBase)
+        assert 1 <= hook.priority <= 10
+        hook.trainer = weakref.proxy(self)
+        inserted = False
+        for i in range(len(self._hooks) - 1, -1, -1):
+            if hook.priority >= self._hooks[i].priority:
+                self._hooks.insert(i + 1, hook)
+                inserted = True
+                break
+        if not inserted:
+            self._hooks.insert(0, hook)
+
+    def _call_hooks(self, stage: str) -> None:
+        for h in self._hooks:
+            getattr(h, stage)()
+
+    # ------------------------------------------------------- the train step
+    def train_cal_loss(self, params, batch_stats, batch):
+        """Subclass extension point (pure).  Returns
+        (loss, loss_dict, new_batch_stats)."""
+        raise NotImplementedError(
+            "subclass the Trainer and implement train_cal_loss"
+        )
+
+    def _build_train_step(self):
+        tx = self.tx
+
+        def step_fn(state: TrainState, data, lr, idx, mask):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            batch["mask"] = mask
+
+            def loss_wrap(params, batch_stats):
+                loss, loss_dict, new_bs = self.train_cal_loss(
+                    params, batch_stats, batch
+                )
+                return loss, (loss_dict, new_bs)
+
+            (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
+                loss_wrap, has_aux=True
+            )(state.params, state.batch_stats)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = scale_updates_by_lr(updates, lr)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, loss_dict
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_one_iter(self, idx: np.ndarray, mask: np.ndarray) -> None:
+        iter_start = time.perf_counter()
+        start = time.perf_counter()
+        idx = jnp.asarray(idx)
+        mask = jnp.asarray(mask)
+        if self._bshard is not None:
+            idx = jax.device_put(idx, self._bshard)
+            mask = jax.device_put(mask, self._bshard)
+        data_time = time.perf_counter() - start
+
+        lr = float(self.lr)
+        self.state, loss_dict = self._train_step(
+            self.state, self.device_arrays, np.float32(lr), idx, mask
+        )
+        iter_time = time.perf_counter() - iter_start
+        self._pending.append((self.cur_iter, loss_dict, data_time, iter_time, lr))
+
+    def flush_metrics(self) -> None:
+        """Fetch all pending device metrics in one transfer; NaN-check."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([p[1] for p in pending])
+        for (it, _ld, data_time, iter_time, lr), loss_dict in zip(pending, fetched):
+            metrics = {k: float(v) for k, v in loss_dict.items()}
+            total = sum(metrics.values())
+            if not np.isfinite(total):
+                raise FloatingPointError(
+                    f"Loss became infinite or NaN at iteration={it}! "
+                    f"loss_dict={metrics}."
+                )
+            if is_main_process():
+                self.log(it, lr=lr, smooth=False)
+                self.log(it, data_time=data_time)
+                self.log(it, iter_time=iter_time)
+                self.log(it, total_loss=total)
+                if len(metrics) > 1:
+                    self.log(it, **metrics)
+
+    # --------------------------------------------------------------- loop
+    def train(
+        self,
+        resume_from_checkpoint: Optional[str] = None,
+        auto_resume: bool = True,
+    ) -> None:
+        if resume_from_checkpoint is not None:
+            self.load_checkpoint(path=resume_from_checkpoint)
+        else:
+            self.load_checkpoint(auto_resume=auto_resume)
+
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        logger.info("Start training from iteration %d", self.start_iter)
+        self._call_hooks("before_train")
+
+        epoch_iter = None
+        for self.cur_iter in range(self.start_iter, self.max_iters):
+            if self.train_by_epoch and self.cur_iter % self.epoch_len == 0:
+                self._call_hooks("before_epoch")
+                epoch_iter = self._epoch_batches()
+            if epoch_iter is None:  # iter-based training
+                epoch_iter = self._epoch_batches()
+            self._call_hooks("before_iter")
+            try:
+                idx, mask = next(epoch_iter)
+            except StopIteration:
+                epoch_iter = self._epoch_batches()
+                idx, mask = next(epoch_iter)
+            self.train_one_iter(idx, mask)
+            self._call_hooks("after_iter")
+            if self.train_by_epoch and (self.cur_iter + 1) % self.epoch_len == 0:
+                self.flush_metrics()
+                self._call_hooks("after_epoch")
+        self.flush_metrics()
+        self._call_hooks("after_train")
+
+    def _epoch_batches(self):
+        from ..data.loader import epoch_batches
+
+        return epoch_batches(
+            self.n_train, self.batch_size, shuffle=True, rng=self._rng
+        )
+
+    # --------------------------------------------------------- checkpoints
+    def _model_state_dict(self) -> dict:
+        return {
+            "params": serialization.to_state_dict(self.state.params),
+            "batch_stats": serialization.to_state_dict(self.state.batch_stats),
+        }
+
+    def save_checkpoint(self, file_name: str) -> None:
+        self.flush_metrics()
+        bundle = {
+            "num_devices": jax.device_count(),
+            "num_processes": get_world_size(),
+            "model": self._model_state_dict(),
+            "optimizer": serialization.to_state_dict(self.state.opt_state),
+            "lr_scheduler": self.lr_schedule.state_dict(),
+            "metric_storage": self.metric_storage.state_dict(),
+            "step": int(jax.device_get(self.state.step)),
+        }
+        bundle.update(
+            {"epoch": self.cur_epoch} if self.train_by_epoch else {"iter": self.cur_iter}
+        )
+        hook_states = {
+            h.class_name: h.state_dict() for h in self._hooks if h.checkpointable
+        }
+        if hook_states:
+            bundle["hooks"] = hook_states
+        self.ckpt_manager.save(file_name, bundle)
+
+    def load_checkpoint(
+        self, path: Optional[str] = None, auto_resume: bool = False
+    ) -> None:
+        if path is None and auto_resume:
+            latest = self.ckpt_manager.latest_path()
+            if latest is None:
+                logger.warning(
+                    "auto_resume=True but no latest checkpoint found in %s",
+                    self.ckpt_dir,
+                )
+            else:
+                logger.info("Auto-resuming from %s", latest)
+                path = latest
+        if not path:
+            logger.info("Skip loading checkpoint.")
+            return
+        logger.info("Loading checkpoint from %s ...", path)
+        bundle = load_checkpoint_file(path)
+
+        n_dev = jax.device_count()
+        ckpt_dev = bundle["num_devices"]
+        assert n_dev == ckpt_dev, (
+            f"checkpoint was trained with {ckpt_dev} devices, "
+            f"but {n_dev} are present"
+        )
+
+        if self.train_by_epoch:
+            self.start_iter = (bundle["epoch"] + 1) * self.epoch_len
+        else:
+            self.start_iter = bundle["iter"] + 1
+
+        # strict=False model load with missing/unexpected warnings
+        merged, missing, unexpected = merge_pytree_strict_false(
+            self._model_state_dict(), bundle["model"]
+        )
+        if missing:
+            logger.warning("Missing keys when loading model weights:\n%s", missing)
+        if unexpected:
+            logger.warning("Unexpected keys when loading model weights:\n%s", unexpected)
+        params = serialization.from_state_dict(self.state.params, merged["params"])
+        batch_stats = serialization.from_state_dict(
+            self.state.batch_stats, merged["batch_stats"]
+        )
+        opt_state = serialization.from_state_dict(
+            self.state.opt_state, bundle["optimizer"]
+        )
+        put = (lambda x: jax.device_put(x, self._repl)) if self._repl else jax.device_put
+        self.state = TrainState(
+            params=put(params),
+            batch_stats=put(batch_stats),
+            opt_state=put(opt_state),
+            step=put(jnp.asarray(bundle.get("step", self.start_iter), jnp.int32)),
+        )
+
+        self.metric_storage.load_state_dict(bundle["metric_storage"])
+        self.lr_schedule.load_state_dict(bundle["lr_scheduler"])
+
+        hook_states = bundle.get("hooks", {})
+        hook_names = [h.class_name for h in self._hooks if h.checkpointable]
+        for name in hook_names:
+            if name not in hook_states:
+                logger.warning("Missing hook state: %s", name)
+        for key, value in hook_states.items():
+            if key not in hook_names:
+                logger.warning("Unexpected hook state: %s", key)
+                continue
+            for h in self._hooks:
+                if h.class_name == key and h.checkpointable:
+                    h.load_state_dict(value)
+                    break
+
+    # ----------------------------------------------------------- inference
+    def model_apply(self, batch_input, train: bool = False, **kwargs):
+        """Eval-mode forward with the current variables (host convenience)."""
+        variables = {"params": self.state.params}
+        bs = self.state.batch_stats
+        if bs:
+            variables["batch_stats"] = bs
+        return self.model.apply(variables, batch_input, train=train, **kwargs)

@@ -1,0 +1,320 @@
+"""TactileSR training recipe (STSR / MTSR).
+
+Workload parity with the reference entry script (train/tactileSR_train.py):
+labels are HR/HR_scale_num bilinearly resized 100->40 (:44-45), inputs are
+the first seqsCnt*axisCnt channels (:46), loss is MSE (:49); eval computes
+per-sample PSNR (maxValue=sensorMaxVaule_factor) and global-stat SSIM,
+averaged per batch then over batches (:66-101); an inference hook renders an
+LR/HR/SR PNG per epoch (:104-196); the seqs variant warm-starts its trunk
+from the single-frame checkpoint (train/tactileSRSeqs_train.py:43-59).
+
+TPU shape of the recipe: the dataset lives in HBM; the label resize is part
+of the jitted step (two matmuls); evaluation is ONE jitted lax.map over the
+padded (n_batches, batch) test set -- no host loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.default import tactileSR_config
+from ..data.datasets import TactileSRDataset, TactileSRDatasetSeq
+from ..metrics import psnr as psnr_fn
+from ..metrics import ssim as ssim_fn
+from ..models.tactile_sr import TactileSR
+from ..ops.resize import resize_bilinear_nchw
+from ..runtime.checkpoint import load_checkpoint_file, merge_pytree_strict_false
+from ..runtime.hooks import EvalHook, HookBase
+from ..runtime.misc import set_random_seed
+from ..runtime.optim import adam_l2
+from ..runtime.schedule import LRWarmupSchedule, StepLR
+from ..runtime.trainer import Trainer, masked_mse
+
+__all__ = [
+    "SRTrainer",
+    "build_model",
+    "build_eval_fn",
+    "InferenceHookSR",
+    "transfer_trunk_params",
+    "main",
+]
+
+logger = logging.getLogger("tactilesr_tpu")
+
+
+def _dtype_of(config) -> jnp.dtype:
+    return jnp.dtype(config.get("compute_dtype", "float32"))
+
+
+def build_model(config) -> TactileSR:
+    return TactileSR(
+        scale_factor=config["scale_factor"],
+        seqs_cnt=config["seqsCnt"],
+        axis_cnt=config["axisCnt"],
+        pattern_feature_extra_layer_cnt=config["patternFeatureExtraLayerCnt"],
+        force_feature_extra_layer_cnt=config["forceFeatureExtraLayerCnt"],
+        dtype=_dtype_of(config),
+    )
+
+
+class SRTrainer(Trainer):
+    """Trainer with the tactileSR loss: MSE(model(LR), resize(HR/scale))."""
+
+    def __init__(self, config, model, **kwargs):
+        self.config = config
+        self.seqs_cnt = config["seqsCnt"]
+        self.axis_cnt = config["axisCnt"]
+        self.hr_scale_num = config["HR_scale_num"]
+        self.scale_factor = config["scale_factor"]
+        super().__init__(model=model, **kwargs)
+
+    def train_cal_loss(self, params, batch_stats, batch):
+        lr_in = batch["LR"][:, : self.seqs_cnt * self.axis_cnt]
+        hw = 4 * self.scale_factor
+        hr = resize_bilinear_nchw(
+            batch["HR"].astype(jnp.float32) / self.hr_scale_num, (hw, hw)
+        )
+        out, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            lr_in,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = masked_mse(out, hr, batch["mask"])
+        return loss, {"total_loss": loss}, mutated["batch_stats"]
+
+
+def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
+    """One-jit whole-test-set evaluation reproducing the reference's
+    batch-then-set averaging (per-sample PSNR/SSIM averaged within each test
+    batch, batch means averaged over batches; MSE per batch over all rows)."""
+    config = trainer.config
+    model = trainer.model
+    bs = config["test_batch_size"]
+    seqs_axis = config["seqsCnt"] * config["axisCnt"]
+    hr_scale = config["HR_scale_num"]
+    max_value = float(config["sensorMaxVaule_factor"])
+    hw = 4 * config["scale_factor"]
+
+    lr_all, hr_all = test_arrays["LR"], test_arrays["HR"]
+    n = lr_all.shape[0]
+    nb = -(-n // bs)
+    pad = nb * bs - n
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    lr_pad = np.concatenate([lr_all, np.zeros((pad,) + lr_all.shape[1:], lr_all.dtype)])
+    hr_pad = np.concatenate([hr_all, np.zeros((pad,) + hr_all.shape[1:], hr_all.dtype)])
+    lr_b = jnp.asarray(lr_pad.reshape(nb, bs, *lr_all.shape[1:]))
+    hr_b = jnp.asarray(hr_pad.reshape(nb, bs, *hr_all.shape[1:]))
+    mask_b = jnp.asarray(mask.reshape(nb, bs))
+
+    @jax.jit
+    def eval_all(params, batch_stats):
+        def per_batch(args):
+            lrb, hrb, mb = args
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                lrb[:, :seqs_axis],
+                train=False,
+            )
+            hr = resize_bilinear_nchw(hrb.astype(jnp.float32) / hr_scale, (hw, hw))
+            mse_b = masked_mse(out, hr, mb)
+            psnr_s = jax.vmap(lambda a, b: psnr_fn(a[0], b[0], max_value))(out, hr)
+            ssim_s = jax.vmap(lambda a, b: ssim_fn(a[0], b[0]))(out, hr)
+            # padded rows can produce inf/nan metrics (identical zero maps);
+            # zero them out before the mask-weighted mean
+            psnr_s = jnp.where(mb > 0, psnr_s, 0.0)
+            ssim_s = jnp.where(mb > 0, ssim_s, 0.0)
+            denom = jnp.sum(mb)
+            return (
+                mse_b,
+                jnp.sum(psnr_s * mb) / denom,
+                jnp.sum(ssim_s * mb) / denom,
+            )
+
+        mse, psnr_b, ssim_b = jax.lax.map(per_batch, (lr_b, hr_b, mask_b))
+        return mse.mean(), psnr_b.mean(), ssim_b.mean()
+
+    def eval_func() -> Dict[str, float]:
+        mse, psnr_v, ssim_v = jax.device_get(
+            eval_all(trainer.state.params, trainer.state.batch_stats)
+        )
+        logger.info(
+            "==> [test] loss: %.4f, SSIM: %.4f, PSNR: %.4f",
+            float(mse),
+            float(ssim_v),
+            float(psnr_v),
+        )
+        return {
+            "test_loss": float(mse),
+            "test_SSIM": float(ssim_v),
+            "test_PSNR": float(psnr_v),
+        }
+
+    return eval_func
+
+
+class InferenceHookSR(HookBase):
+    """Per-epoch PNG of (LR_z, HR surface, SR surface) for test sample 0,
+    titled with its PSNR/SSIM -- the reference's visual-regression artifact."""
+
+    priority = 5
+
+    def __init__(self, test_arrays: Dict[str, np.ndarray], config):
+        self._arrays = test_arrays
+        self._config = config
+
+    def after_epoch(self) -> None:
+        t = self.trainer
+        out_dir = os.path.join(t.work_dir, "inference_result")
+        os.makedirs(out_dir, exist_ok=True)
+        self.render(os.path.join(out_dir, f"epoch_{t.cur_epoch}.png"))
+
+    def render(self, save_name: str) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        t = self.trainer
+        cfg = self._config
+        hw = 4 * cfg["scale_factor"]
+        lr = jnp.asarray(self._arrays["LR"][:1, : cfg["seqsCnt"] * cfg["axisCnt"]])
+        hr = resize_bilinear_nchw(
+            jnp.asarray(self._arrays["HR"][:1], jnp.float32) / cfg["HR_scale_num"],
+            (hw, hw),
+        )
+        out = t.model_apply(lr, train=False)
+        sr_img = np.asarray(out[0, 0])
+        hr_img = np.asarray(hr[0, 0])
+        lr_z = np.asarray(lr[0, 2])
+        p = float(psnr_fn(out[0, 0], hr[0, 0], float(cfg["sensorMaxVaule_factor"])))
+        s = float(ssim_fn(out[0, 0], hr[0, 0]))
+
+        fig = plt.figure(tight_layout=True)
+        ax1 = fig.add_subplot(131)
+        ax2 = fig.add_subplot(132, projection="3d")
+        ax3 = fig.add_subplot(133, projection="3d")
+        grid = np.arange(hw)
+        xg, yg = np.meshgrid(grid, grid)
+        ax1.imshow(lr_z, vmin=0, vmax=8)
+        ax2.plot_surface(xg, yg, hr_img, vmin=0, vmax=25, cmap="rainbow")
+        ax3.plot_surface(xg, yg, sr_img, vmin=0, vmax=25, cmap="rainbow")
+        for ax in (ax2, ax3):
+            ax.set_zlim([0, 50])
+            ax.view_init(elev=60, azim=-90)
+        for ax in (ax1, ax2, ax3):
+            ax.axis("off")
+        ax1.set_title("LR_z")
+        ax2.set_title("HR_img")
+        ax3.set_title(f"SR_img {p:.2f}dB {s:.3f}")
+        plt.savefig(save_name)
+        plt.close(fig)
+
+
+def transfer_trunk_params(seqs_variables: dict, single_bundle: dict) -> dict:
+    """Warm-start the MTSR trunk from an STSR checkpoint bundle: graft the
+    ``patternFeatureExtra_layer_*`` and ``forceFeatureExtra_layer_*`` subtrees
+    (params AND batch_stats) into the seqs model's variables."""
+    src = single_bundle["model"]
+    out = jax.tree_util.tree_map(lambda x: x, seqs_variables)  # shallow copy
+    for coll in ("params", "batch_stats"):
+        dst_coll = dict(out.get(coll, {}))
+        src_coll = src.get(coll, {})
+        n = 0
+        for name, sub in src_coll.items():
+            if name.startswith(("patternFeatureExtra_layer", "forceFeatureExtra_layer")):
+                dst_coll[name] = jax.tree_util.tree_map(jnp.asarray, sub)
+                n += 1
+        out[coll] = dst_coll
+        logger.info("Transferred %d trunk modules into '%s'", n, coll)
+    return out
+
+
+def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] = None):
+    """Train tactileSR end to end from a config dict (STSR by default;
+    ``seqs=True`` uses the SeqsDataset + trunk transfer -- the
+    tactileSRSeqs_train entry)."""
+    config = dict(config or tactileSR_config)
+    from ..runtime.logger import setup_logger
+
+    setup_logger("tactilesr_tpu")  # console from the first line; file handler
+    # attaches when the trainer knows the work dir
+    set_random_seed(config["random_seed"], config["deterministic"])
+
+    ds_cls = TactileSRDatasetSeq if seqs else TactileSRDataset
+    train_ds = ds_cls(config["train_dataset_dir"])
+    test_ds = ds_cls(config["test_dataset_dir"])
+    lr_train, hr_train = train_ds.stacked()
+    lr_test, hr_test = test_ds.stacked()
+    logger.info("train dataset size: %d", len(train_ds))
+    logger.info("test dataset size: %d", len(test_ds))
+
+    model = build_model(config)
+    rng = jax.random.key(config["random_seed"])
+    sample = jnp.zeros(
+        (1, config["seqsCnt"] * config["axisCnt"], 4, 4), jnp.float32
+    )
+    variables = jax.device_get(model.init(rng, sample, train=False))
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+    if seqs and config.get("load_checkpoint_dir") and os.path.exists(
+        config["load_checkpoint_dir"]
+    ):
+        bundle = load_checkpoint_file(config["load_checkpoint_dir"])
+        variables = transfer_trunk_params(variables, bundle)
+    elif seqs:
+        logger.warning(
+            "seqs transfer checkpoint not found at %s; training from scratch",
+            config.get("load_checkpoint_dir"),
+        )
+
+    epochs = max_epochs or config["epochs"]
+    n_train = lr_train.shape[0]
+    epoch_len = -(-n_train // config["train_batch_size"])
+    warmup_t = config.get("warmup_t", 0) if not seqs else 0
+    lr_schedule = LRWarmupSchedule(
+        StepLR(
+            config["lr"],
+            config["lr_scheduler_step_size"],
+            config["lr_scheduler_gamma"],
+        ),
+        by_epoch=True,
+        epoch_len=epoch_len,
+        warmup_t=warmup_t,
+        warmup_mode=config.get("warmup_mode", "fix"),
+        warmup_init_lr=config.get("warmup_init_lr"),
+        warmup_factor=config.get("warmup_factor"),
+    )
+
+    trainer = SRTrainer(
+        config=config,
+        model=model,
+        variables=variables,
+        tx=adam_l2(weight_decay=config["weight_decay"]),
+        lr_schedule=lr_schedule,
+        train_arrays={"LR": lr_train, "HR": hr_train},
+        batch_size=config["train_batch_size"],
+        max_epochs=epochs,
+        work_dir=config["save_dir"],
+        checkpoint_period=config["checkpoint_period"],
+        mesh=mesh,
+        seed=config["random_seed"],
+    )
+
+    test_arrays = {"LR": lr_test, "HR": hr_test}
+    trainer.register_hooks([EvalHook(1, build_eval_fn(trainer, test_arrays))])
+    if config.get("inference_test"):
+        trainer.register_hooks([InferenceHookSR(test_arrays, config)])
+
+    trainer.train(auto_resume=False)
+    return trainer

@@ -1,0 +1,147 @@
+"""Model-layer tests: shapes across seqsCnt, init statistics, BatchNorm
+torch parity, tPSFNet forward/grad."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tactilesr_tpu.models import MSRB, BatchNorm, ResBlock, TactileSR, TactileSRCNN, TPSFNet
+
+
+def _init_and_apply(model, *args, train=False, seed=0, **kwargs):
+    variables = model.init(jax.random.key(seed), *args, train=train, **kwargs)
+    if train:
+        out, _ = model.apply(
+            variables, *args, train=train, mutable=["batch_stats"], **kwargs
+        )
+    else:
+        out = model.apply(variables, *args, train=train, **kwargs)
+    return variables, out
+
+
+@pytest.mark.parametrize("seqs_cnt", [1, 3, 7])
+def test_tactile_sr_shapes(seqs_cnt, rng):
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=seqs_cnt,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1,
+        force_feature_extra_layer_cnt=1,
+    )
+    x = jnp.asarray(rng.standard_normal((2, seqs_cnt * 3, 4, 4)).astype(np.float32))
+    variables, out = _init_and_apply(model, x)
+    assert out.shape == (2, 1, 40, 40)
+    assert np.all(np.asarray(out) >= 0)  # final ReLU
+    # per-seq branches have their own parameters
+    branch_names = [k for k in variables["params"] if k.startswith("inputLayer_pattern_")]
+    assert len(branch_names) == 4 * seqs_cnt  # (conv + bn) x 2 per branch
+
+
+def test_tactile_sr_rejects_wrong_channels(rng):
+    model = TactileSR(seqs_cnt=2, axis_cnt=3, pattern_feature_extra_layer_cnt=1)
+    x = jnp.zeros((1, 3, 4, 4))
+    with pytest.raises(AssertionError):
+        model.init(jax.random.key(0), x, train=False)
+
+
+def test_tactile_srcnn_shapes(rng):
+    model = TactileSRCNN(msrb_cnt=1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 4)).astype(np.float32))
+    _, out = _init_and_apply(model, x)
+    assert out.shape == (2, 1, 40, 40)
+
+
+def test_blocks_preserve_shape(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    for block in (MSRB(), ResBlock()):
+        _, out = _init_and_apply(block, x, train=True)
+        assert out.shape == x.shape
+
+
+def test_conv_kaiming_and_bn_init():
+    model = TactileSR(pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+    params = variables["params"]
+    # conv kernels: std ~= sqrt(2 / fan_out), fan_out = out_ch * kh * kw
+    k = params["inputContact_layer"]["conv"]["kernel"]  # (3,3,64,64)
+    fan_out = k.shape[-1] * k.shape[0] * k.shape[1]
+    std = float(jnp.std(k))
+    assert abs(std - (2.0 / fan_out) ** 0.5) / ((2.0 / fan_out) ** 0.5) < 0.1
+    # BN scale/bias init to 0.1 (reference's non-standard parity detail)
+    bn = params["inputContact_layer_bn"]
+    np.testing.assert_allclose(np.asarray(bn["scale"]), 0.1)
+    np.testing.assert_allclose(np.asarray(bn["bias"]), 0.1)
+
+
+def test_batchnorm_matches_torch(rng):
+    x = rng.standard_normal((4, 8, 8, 5)).astype(np.float32)
+    bn = BatchNorm()
+    variables = bn.init(jax.random.key(0), jnp.asarray(x), use_running_average=False)
+
+    tbn = torch.nn.BatchNorm2d(5, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.fill_(0.1)
+        tbn.bias.fill_(0.1)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    # training mode: normalized output + running-stat update
+    tbn.train()
+    want = tbn(tx).detach().numpy()
+    out, mutated = bn.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), want, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+    # torch updates running_var with the UNBIASED batch variance
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tbn.running_var.numpy(),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+
+    # eval mode with the updated stats
+    tbn.eval()
+    want_eval = tbn(tx).detach().numpy()
+    got_eval = bn.apply(
+        {"params": variables["params"], "batch_stats": mutated["batch_stats"]},
+        jnp.asarray(x),
+        use_running_average=True,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got_eval), (0, 3, 1, 2)), want_eval, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tpsf_net_forward_and_grad(rng):
+    model = TPSFNet()
+    lr = jnp.asarray(np.abs(rng.standard_normal((3, 3, 4, 4))).astype(np.float32))
+    depth = np.zeros((3, 1, 100, 100), np.float32)
+    depth[:, :, 30:60, 30:60] = 1.0
+    depth = jnp.asarray(depth)
+    variables = model.init(jax.random.key(0), lr, depth)
+    hr, deg, psf, ab = model.apply(variables, lr, depth)
+    assert hr.shape == (3, 1, 100, 100)
+    assert deg.shape == (3, 1, 4, 4)
+    assert psf.shape == (3, 1, 99, 99)
+    assert ab.shape == (3, 1, 3)
+    assert np.all(np.asarray(ab) >= 0)  # softplus head
+
+    def loss(params):
+        _hr, d, _p, _a = model.apply({"params": params}, lr, depth, return_psf=False)
+        return jnp.mean((lr[:, 2:3] - d) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)

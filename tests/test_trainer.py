@@ -1,0 +1,165 @@
+"""Trainer integration: learning progress, checkpoint round-trip/resume,
+strict=False partial load, NaN detection, metric flush, torch-Adam parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tactilesr_tpu.config.default import tactileSR_config
+from tactilesr_tpu.runtime import (
+    LRWarmupSchedule,
+    StepLR,
+    adam_l2,
+    load_checkpoint_file,
+    merge_pytree_strict_false,
+    scale_updates_by_lr,
+)
+from tactilesr_tpu.tasks.sr_task import SRTrainer, build_eval_fn, build_model
+
+
+def _toy_config(tmp_dir, **overrides):
+    cfg = dict(tactileSR_config)
+    cfg.update(
+        save_dir=os.path.join(tmp_dir, "work"),
+        train_batch_size=8,
+        test_batch_size=4,
+        patternFeatureExtraLayerCnt=1,
+        forceFeatureExtraLayerCnt=1,
+        scale_factor=4,  # 16x16 output: fast on CPU
+        warmup_t=0,
+        compute_dtype="float32",
+        inference_test=False,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def _toy_data(rng, n=24):
+    lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
+    # learnable mapping: HR is a smooth function of LR's z channel
+    hr = np.repeat(np.repeat(lr[:, 2:3], 25, axis=2), 25, axis=3).astype(np.float32)
+    return lr, hr
+
+
+def _make_trainer(cfg, lr, hr, max_epochs=3, seed=42):
+    model = build_model(cfg)
+    variables = jax.device_get(
+        model.init(
+            jax.random.key(seed),
+            jnp.zeros((1, cfg["seqsCnt"] * cfg["axisCnt"], 4, 4)),
+            train=False,
+        )
+    )
+    schedule = LRWarmupSchedule(
+        StepLR(cfg["lr"], cfg["lr_scheduler_step_size"], cfg["lr_scheduler_gamma"]),
+        by_epoch=True,
+        epoch_len=-(-lr.shape[0] // cfg["train_batch_size"]),
+    )
+    return SRTrainer(
+        config=cfg,
+        model=model,
+        variables={
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        },
+        tx=adam_l2(weight_decay=cfg["weight_decay"]),
+        lr_schedule=schedule,
+        train_arrays={"LR": lr, "HR": hr},
+        batch_size=cfg["train_batch_size"],
+        max_epochs=max_epochs,
+        work_dir=cfg["save_dir"],
+        checkpoint_period=1,
+        seed=seed,
+    )
+
+
+def test_training_reduces_loss(tmp_path, rng):
+    cfg = _toy_config(str(tmp_path))
+    lr, hr = _toy_data(rng)
+    trainer = _make_trainer(cfg, lr, hr, max_epochs=4)
+    trainer.register_hooks([])
+    trainer.train(auto_resume=False)
+    losses = trainer.metric_storage["total_loss"]
+    assert losses.latest < losses.global_avg  # trending down
+    assert os.path.exists(os.path.join(cfg["save_dir"], "checkpoints", "epoch_3.ckpt"))
+    assert os.path.exists(os.path.join(cfg["save_dir"], "checkpoints", "latest.ckpt"))
+
+
+def test_eval_and_resume(tmp_path, rng):
+    cfg = _toy_config(str(tmp_path))
+    lr, hr = _toy_data(rng)
+    trainer = _make_trainer(cfg, lr, hr, max_epochs=2)
+    eval_fn = build_eval_fn(trainer, {"LR": lr[:10], "HR": hr[:10]})
+    from tactilesr_tpu.runtime.hooks import EvalHook
+
+    trainer.register_hooks([EvalHook(1, eval_fn)])
+    trainer.train(auto_resume=False)
+    assert "test_PSNR" in trainer.metric_storage
+    assert np.isfinite(trainer.metric_storage["test_PSNR"].latest)
+    final_params = jax.device_get(trainer.state.params)
+
+    # fresh trainer auto-resumes from latest.ckpt and continues
+    trainer2 = _make_trainer(cfg, lr, hr, max_epochs=3, seed=7)
+    trainer2.train(auto_resume=True)
+    assert trainer2.start_iter == 2 * trainer2.epoch_len
+    # resumed params must have evolved from (not equal) the loaded snapshot
+    p0 = jax.tree_util.tree_leaves(final_params)[0]
+    p1 = jax.tree_util.tree_leaves(jax.device_get(trainer2.state.params))[0]
+    assert not np.allclose(p0, p1)
+
+
+def test_checkpoint_strict_false_merge():
+    cur = {"a": np.zeros(3), "b": {"c": np.ones(2)}}
+    loaded = {"a": np.full(3, 5.0), "b": {"d": np.ones(1)}, "e": np.zeros(1)}
+    merged, missing, unexpected = merge_pytree_strict_false(cur, loaded)
+    np.testing.assert_array_equal(merged["a"], 5.0)
+    np.testing.assert_array_equal(merged["b"]["c"], 1.0)
+    assert missing == ["b/c"]
+    assert set(unexpected) == {"b/d", "e"}
+    # shape mismatch -> skipped, reported unexpected
+    merged2, _, unexpected2 = merge_pytree_strict_false(
+        {"a": np.zeros(3)}, {"a": np.zeros(4)}
+    )
+    assert merged2["a"].shape == (3,)
+    assert "a" in unexpected2
+
+
+def test_nan_loss_raises(tmp_path, rng):
+    cfg = _toy_config(str(tmp_path), lr=1e38)  # absurd lr forces non-finite loss
+    lr, hr = _toy_data(rng)
+    trainer = _make_trainer(cfg, lr, hr, max_epochs=2)
+    with pytest.raises(FloatingPointError):
+        trainer.train(auto_resume=False)
+
+
+def test_adam_l2_matches_torch_adam(rng):
+    """Our optax chain == torch.optim.Adam with coupled weight decay."""
+    import torch
+
+    w0 = rng.standard_normal((5, 4)).astype(np.float32)
+    grads_seq = [rng.standard_normal((5, 4)).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-2, 1e-2
+
+    tp = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for g in grads_seq:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = adam_l2(weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for g in grads_seq:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        updates = scale_updates_by_lr(updates, lr)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-4, atol=1e-6
+    )

@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""Single-frame TactileSR (STSR) training entry.
+
+CLI parity with the reference: ``python train/tactileSR_train.py`` runs the
+full recipe from config/default.py's ``tactileSR_config``.  Optional flags
+(additive over the reference): ``-c config.yaml`` or ``--<key> value`` to
+override any scalar config key, ``--epochs`` for a short run.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tactilesr_tpu
+
+tactilesr_tpu.maybe_force_platform()
+
+from tactilesr_tpu.config import ConfigArgumentParser, tactileSR_config
+from tactilesr_tpu.config.parser import add_config_args, apply_overrides
+from tactilesr_tpu.tasks.sr_task import main
+
+
+if __name__ == "__main__":
+    parser = ConfigArgumentParser(description=__doc__)
+    add_config_args(parser, tactileSR_config)
+    args = parser.parse_args()
+    config = apply_overrides(tactileSR_config, args)
+    main(config)
