@@ -52,6 +52,9 @@ tPSFNet_config = {
     "dataset_dir": os.path.join(root_path, "data/rotateDataset"),
     "save_dir": os.path.join(root_path, "pth/tPSFNet_no_aug"),
     "is_aug_data": False,
+    # fused Pallas physics kernel (VMEM-resident band matrices); numerically
+    # equivalent to the XLA path -- see ops/pallas/tpsf_kernel.py
+    "use_pallas_physics": False,
     # inference-test params (alpha/beta-vs-force curves)
     "inference_test": True,
     "inference_index": 36,

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["psnr", "ssim", "batched_psnr", "batched_ssim", "mse"]
+__all__ = ["psnr", "ssim", "batched_psnr", "batched_ssim", "mse", "ssim_loss"]
 
 
 def mse(a, b):
@@ -52,3 +52,11 @@ def ssim(pattern1, pattern2, c1: float = 0.01**2, c2: float = 0.03**2):
 
 batched_psnr = jax.vmap(psnr, in_axes=(0, 0, None))
 batched_ssim = jax.vmap(ssim, in_axes=(0, 0))
+
+
+def ssim_loss(img1, img2):
+    """Differentiable SSIM objective over whole images (capability parity
+    with the reference's unused-but-public SSIM loss module,
+    utility/tools.py:85-114).  Being pure-jnp, :func:`ssim` is already
+    differentiable; this returns 1 - SSIM as a minimizable loss."""
+    return 1.0 - ssim(img1, img2)

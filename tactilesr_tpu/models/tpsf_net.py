@@ -36,6 +36,7 @@ class TPSFNet(nn.Module):
     gama: float = 1.4
     perception_scale: Optional[float] = None
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused single-kernel physics path
 
     @nn.compact
     def __call__(self, x, depth, return_psf: bool = True):
@@ -54,7 +55,7 @@ class TPSFNet(nn.Module):
 
         depth2d = depth.reshape(b, depth.shape[-2], depth.shape[-1])
         hr, lr_degrade, psf = tpsf_forward_physics(
-            depth2d, alpha_beta, return_psf=return_psf
+            depth2d, alpha_beta, return_psf=return_psf, use_pallas=self.use_pallas
         )
 
         hr = hr[:, None]  # (B, 1, 100, 100)

@@ -1,0 +1,140 @@
+"""Fused tPSF physics as a single Pallas TPU kernel.
+
+One kernel invocation per batch element computes, entirely in VMEM:
+
+  1. the banded PSF operator  A[i,j] = exp(-C_PSF*(j-i)^2 / beta^2),
+     |j-i| <= 49  (built on the fly from iotas -- never touches HBM),
+  2. HR0 = alpha * (A @ D @ A^T)          -- two (100,100) MXU matmuls,
+  3. the contact-mask second-max fixup,
+  4. the taxel degradation LR[i,j] = (U @ HR @ U^T - mn*sum(HR)) * 1e-4/(1-mn)
+     with U[t,x] = exp(-C_MASK*(x - c_t)^2 / m).
+
+Fusing steps 1-4 keeps every intermediate (A: 40 KB, HR: 40 KB) on-chip;
+the XLA path materializes the per-sample band matrices and HR maps in HBM
+between ops.  Mathematically identical to ops/psf.py's separable
+formulation, which itself is golden-tested against the reference's direct
+conv semantics (model/tPSFNet.py:78-141).
+
+The backward pass falls back to the XLA formulation via custom_vjp
+(recompute); training uses whichever path the config selects, and both are
+cross-checked in tests (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..psf import (
+    C_MASK,
+    C_PSF,
+    DEGRADE_SCALE,
+    DISTURBANCE,
+    HR_SIZE,
+    PSF_CENTER,
+    TAXEL_CENTER_0,
+    TAXEL_PITCH,
+    TAXELS,
+    _physics_single,
+)
+
+__all__ = ["tpsf_physics_fused", "tpsf_physics_pallas_raw"]
+
+
+def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
+    alpha = abm_ref[0, 0]
+    beta = abm_ref[0, 1]
+    m = abm_ref[0, 2]
+
+    d = depth_ref[0, :, :].astype(jnp.float32)  # (100, 100)
+
+    # banded PSF operator from iotas (no HBM traffic)
+    i = jax.lax.broadcasted_iota(jnp.float32, (HR_SIZE, HR_SIZE), 0)
+    j = jax.lax.broadcasted_iota(jnp.float32, (HR_SIZE, HR_SIZE), 1)
+    off = j - i
+    band = jnp.exp(-C_PSF * off * off / (beta * beta))
+    valid = jnp.abs(off) <= PSF_CENTER
+    a = jnp.where(valid, band, 0.0)
+
+    # HR0 = alpha * A @ D @ A^T  -- MXU
+    t1 = jnp.dot(a, d, preferred_element_type=jnp.float32)
+    hr0 = alpha * jnp.dot(t1, a.T, preferred_element_type=jnp.float32)
+
+    # contact-mask second-max substitution
+    mask = d > (jnp.max(d) - DISTURBANCE)
+    second = jnp.max(jnp.where(mask, 0.0, hr0))
+    hr = jnp.where(mask, second, hr0)
+    hr_ref[0, :, :] = hr
+
+    # taxel degradation: U (4,100) from iotas
+    x = jax.lax.broadcasted_iota(jnp.float32, (TAXELS, HR_SIZE), 1)
+    c = (
+        jax.lax.broadcasted_iota(jnp.float32, (TAXELS, HR_SIZE), 0) * TAXEL_PITCH
+        + TAXEL_CENTER_0
+    )
+    u = jnp.exp(-C_MASK * (x - c) * (x - c) / m)
+    t2 = jnp.dot(
+        jnp.dot(u, hr, preferred_element_type=jnp.float32),
+        u.T,
+        preferred_element_type=jnp.float32,
+    )
+    mn = jnp.exp(-100.0 / m)
+    lr_ref[0, :, :] = (t2 - mn * jnp.sum(hr)) / (1.0 - mn) * DEGRADE_SCALE
+
+
+def tpsf_physics_pallas_raw(depth, abm, interpret: bool | None = None):
+    """Raw fused kernel: depth (B,100,100), abm (B,3) -> (HR, LR_degrade).
+
+    ``interpret`` defaults to True off-TPU so tests exercise the same kernel
+    body on the CPU mesh.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = depth.shape[0]
+    return pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, TAXELS, TAXELS), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, HR_SIZE, HR_SIZE), jnp.float32),
+            jax.ShapeDtypeStruct((b, TAXELS, TAXELS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(abm.astype(jnp.float32), depth.astype(jnp.float32))
+
+
+def _xla_reference(depth, abm):
+    hr, lr = _physics_single(depth, abm)
+    return hr, lr
+
+
+@jax.custom_vjp
+def tpsf_physics_fused(depth, abm):
+    """Fused forward (Pallas) with an XLA-recompute backward; drop-in for
+    ``tpsf_forward_physics(..., return_psf=False)`` minus the psf output."""
+    hr, lr = tpsf_physics_pallas_raw(depth, abm)
+    return hr, lr
+
+
+def _fwd(depth, abm):
+    return tpsf_physics_fused(depth, abm), (depth, abm)
+
+
+def _bwd(residuals, cotangents):
+    depth, abm = residuals
+    _out, vjp = jax.vjp(_xla_reference, depth, abm)
+    return vjp(cotangents)
+
+
+tpsf_physics_fused.defvjp(_fwd, _bwd)

@@ -180,10 +180,21 @@ def _physics_single(depth, alpha_beta_m):
     return hr, lr_degrade
 
 
-def tpsf_forward_physics(depth, alpha_beta_m, return_psf: bool = True):
+def tpsf_forward_physics(
+    depth, alpha_beta_m, return_psf: bool = True, use_pallas: bool = False
+):
     """Batched physics: depth (B,100,100), alpha_beta_m (B,3) ->
-    (HR (B,100,100), LR_degrade (B,4,4), psf (B,99,99) or None)."""
-    hr, lr_degrade = _physics_single(depth, alpha_beta_m)
+    (HR (B,100,100), LR_degrade (B,4,4), psf (B,99,99) or None).
+
+    ``use_pallas`` routes through the fused single-kernel path
+    (ops/pallas/tpsf_kernel.py); numerically equivalent, keeps all
+    intermediates in VMEM."""
+    if use_pallas:
+        from .pallas.tpsf_kernel import tpsf_physics_fused
+
+        hr, lr_degrade = tpsf_physics_fused(depth, alpha_beta_m)
+    else:
+        hr, lr_degrade = _physics_single(depth, alpha_beta_m)
     psf = None
     if return_psf:
         psf = jax.vmap(psf_kernel)(alpha_beta_m[:, 0], alpha_beta_m[:, 1])

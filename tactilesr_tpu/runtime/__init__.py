@@ -4,6 +4,11 @@ from .checkpoint import (
     merge_pytree_strict_false,
     save_checkpoint_file,
 )
+from .device import (
+    parse_device_memory,
+    select_device_with_most_free_memory,
+    test_device,
+)
 from .history import HistoryBuffer, MetricStorage
 from .hooks import CheckpointHook, EvalHook, HookBase, LoggerHook, LRUpdateHook
 from .logger import ScalarWriter, setup_logger
@@ -37,4 +42,7 @@ __all__ = [
     "ScalarWriter",
     "collect_env",
     "set_random_seed",
+    "parse_device_memory",
+    "select_device_with_most_free_memory",
+    "test_device",
 ]

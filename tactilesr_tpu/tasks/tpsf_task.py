@@ -42,6 +42,7 @@ def build_model(config) -> TPSFNet:
         gama=config["gama"],
         perception_scale=config["perception_scale"],
         dtype=jnp.dtype(config.get("compute_dtype", "float32")),
+        use_pallas=bool(config.get("use_pallas_physics", False)),
     )
 
 

@@ -1,0 +1,53 @@
+"""Pallas fused tPSF kernel vs the XLA separable formulation (interpret mode
+on the CPU mesh; the same kernel body compiles on TPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tactilesr_tpu.ops.pallas.tpsf_kernel import (
+    tpsf_physics_fused,
+    tpsf_physics_pallas_raw,
+)
+from tactilesr_tpu.ops.psf import tpsf_forward_physics
+
+
+def _inputs(rng, b=3):
+    depth = np.zeros((b, 100, 100), np.float32)
+    for k in range(b):
+        depth[k, 20 + 5 * k : 60, 30 : 70 + 3 * k] = 1.0
+    abm = (0.5 + np.abs(rng.standard_normal((b, 3)))).astype(np.float32)
+    return jnp.asarray(depth), jnp.asarray(abm)
+
+
+def test_fused_matches_xla(rng):
+    depth, abm = _inputs(rng)
+    hr_p, lr_p = tpsf_physics_pallas_raw(depth, abm, interpret=True)
+    hr_x, lr_x, _ = tpsf_forward_physics(depth, abm, return_psf=False)
+    np.testing.assert_allclose(np.asarray(hr_p), np.asarray(hr_x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lr_p), np.asarray(lr_x), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_custom_vjp_matches_xla_grads(rng):
+    depth, abm = _inputs(rng, b=2)
+
+    def loss_fused(abm):
+        hr, lr = tpsf_physics_fused(depth, abm)
+        return jnp.sum(lr**2) + 1e-6 * jnp.sum(hr)
+
+    def loss_xla(abm):
+        hr, lr, _ = tpsf_forward_physics(depth, abm, return_psf=False)
+        return jnp.sum(lr**2) + 1e-6 * jnp.sum(hr)
+
+    g_f = jax.grad(loss_fused)(abm)
+    g_x = jax.grad(loss_xla)(abm)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), rtol=1e-3, atol=1e-6)
+
+
+def test_fused_jits(rng):
+    depth, abm = _inputs(rng, b=2)
+    f = jax.jit(tpsf_physics_fused)
+    hr, lr = f(depth, abm)
+    assert hr.shape == (2, 100, 100) and lr.shape == (2, 4, 4)
+    assert np.all(np.isfinite(np.asarray(hr)))
