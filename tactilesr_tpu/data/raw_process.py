@@ -40,6 +40,17 @@ __all__ = [
 ]
 
 
+def _use_native() -> bool:
+    """Dispatch to the C++ preprocessing library unless disabled via
+    ``TACTILESR_NATIVE=0``; silently falls back when no toolchain built it
+    (numpy and native paths are parity-tested against each other)."""
+    if os.environ.get("TACTILESR_NATIVE", "1") == "0":
+        return False
+    from .. import native
+
+    return native.available()
+
+
 def frames_to_maps(tactile_lrs: np.ndarray) -> np.ndarray:
     """(seqs, 48) raw taxel frames -> (seqs, 3, 4, 4) [x, y, z] force maps.
 
@@ -64,6 +75,10 @@ def extract_contact_seqs(
     ``sample_count`` when requested.
     """
     tactile_lrs = np.asarray(tactile_lrs)
+    if _use_native():
+        from ..native import extract_contact_seqs_native
+
+        return extract_contact_seqs_native(tactile_lrs, threshold_scale, sample_count)
     maps = frames_to_maps(tactile_lrs)  # (seqs, 3, 4, 4), already flipped
     z_sums = maps[:, 2].sum(axis=(1, 2))  # flip does not change sums
 
@@ -91,6 +106,10 @@ def binarize_depth(depth: np.ndarray, depth_pixel: int = 100) -> np.ndarray:
     the midpoint on the *modified* array and zeros everything not above it
     (reproducing the reference's sequential in-place thresholds).
     """
+    if _use_native():
+        from ..native import binarize_depth_native
+
+        return binarize_depth_native(np.asarray(depth, np.float32), depth_pixel)
     d = np.array(depth, dtype=np.float32, copy=True)
     t1 = d.min() * 0.5 + d.max() * 0.5
     d[d > t1] = 1.0
