@@ -76,7 +76,7 @@ def main():
 
     best_fps = 0.0
     best_batch = 0
-    for batch in (512, 1024, 2048):
+    for batch in (1024, 2048, 4096):
         x = jax.device_put(rng.random((batch, 3, 4, 4)).astype(np.float32))
         t0 = time.time()
         out = forward(variables, x)

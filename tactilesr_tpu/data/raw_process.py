@@ -123,6 +123,15 @@ def binarize_depth(depth: np.ndarray, depth_pixel: int = 100) -> np.ndarray:
     return d.astype(np.float32)
 
 
+def scale_depth_by_force(samples: List[dict]) -> List[dict]:
+    """In-place: depth *= sum(LR_z) * 0.01 -- the reference's
+    ``depth2tactile`` dataset scaler (utility/raw_data_process.py:52-55),
+    kept for API completeness."""
+    for s in samples:
+        s["depth"] = s["depth"] * s["LR"][2].sum() * 0.01
+    return samples
+
+
 def augment_rotations(samples: List[dict]) -> List[dict]:
     """x4 dataset: original + joint rot90/180/270 of LR channels and depth."""
     out: List[dict] = []
