@@ -46,6 +46,66 @@ def wait_for_quiet(jnp, jax, patience_s: float = 300.0) -> None:
     log("warning: device queue never went quiet; measuring anyway")
 
 
+def bench_train():
+    """Secondary benchmark: training throughput (samples/sec) of the full
+    STSR train step (fwd+bwd+Adam+BN update), vs the reference's measured
+    torch-CPU rate of ~1.54 samples/s at B=32 (same machine)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.config.default import tactileSR_config
+    from tactilesr_tpu.runtime import LRWarmupSchedule, StepLR, adam_l2
+    from tactilesr_tpu.tasks.sr_task import SRTrainer, build_model
+
+    wait_for_quiet(jnp, jax)
+    rng = np.random.default_rng(0)
+    best = (0.0, 0)
+    for batch in (32, 1024):
+        cfg = dict(tactileSR_config)
+        cfg.update(save_dir=f"/tmp/bench_train_{batch}", train_batch_size=batch, warmup_t=0)
+        n = max(batch * 2, 2048)
+        lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
+        hr = (rng.random((n, 1, 100, 100)) * 50).astype(np.float32)
+        model = build_model(cfg)
+        v = jax.device_get(model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False))
+        tr = SRTrainer(
+            config=cfg, model=model,
+            variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            tx=adam_l2(weight_decay=1e-2),
+            lr_schedule=LRWarmupSchedule(StepLR(1e-3, 2, 0.8), by_epoch=True, epoch_len=10),
+            train_arrays={"LR": lr, "HR": hr}, batch_size=batch, max_epochs=1,
+            work_dir=cfg["save_dir"],
+        )
+        tr._train_step = tr._build_train_step()
+        idx = np.arange(batch)
+        mask = np.ones(batch, np.float32)
+        tr.train_one_iter(idx, mask)
+        tr.flush_metrics()
+        iters = 12
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tr.cur_iter += 1
+            tr.train_one_iter(idx, mask)
+        tr.flush_metrics()
+        float(jax.tree_util.tree_leaves(tr.state.params)[0].ravel()[0])
+        dt = (time.perf_counter() - t0) / iters
+        sps = batch / dt
+        log(f"train B={batch}: {dt*1e3:.1f} ms/step -> {sps:,.0f} samples/s")
+        if sps > best[0]:
+            best = (sps, batch)
+    ref_cpu = 1.54  # measured reference torch-CPU samples/s at B=32
+    print(
+        json.dumps(
+            {
+                "metric": "sr_train_throughput",
+                "value": round(best[0], 1),
+                "unit": "samples/sec",
+                "vs_baseline": round(best[0] / (50 * ref_cpu), 3),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -107,4 +167,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()
