@@ -1,0 +1,15 @@
+from .torch_convert import (
+    convert_checkpoint_file,
+    convert_tactile_sr,
+    convert_tactile_srcnn,
+    convert_tpsf_net,
+    load_torch_state_dict,
+)
+
+__all__ = [
+    "convert_checkpoint_file",
+    "convert_tactile_sr",
+    "convert_tactile_srcnn",
+    "convert_tpsf_net",
+    "load_torch_state_dict",
+]
