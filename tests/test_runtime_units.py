@@ -1,0 +1,149 @@
+"""Unit tests for runtime pieces: history buffers, checkpoint manager GC,
+scalar writer, config parser, iteration-based training mode, device utils."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tactilesr_tpu.config.parser import ConfigArgumentParser, save_args
+from tactilesr_tpu.runtime import CheckpointManager, MetricStorage
+from tactilesr_tpu.runtime.history import HistoryBuffer
+from tactilesr_tpu.runtime.logger import ScalarWriter
+
+
+def test_history_buffer_window_and_global():
+    buf = HistoryBuffer(window_size=3)
+    for v in [1, 2, 3, 4]:
+        buf.update(v)
+    assert buf.latest == 4
+    assert buf.avg == (2 + 3 + 4) / 3
+    assert buf.global_avg == 2.5
+    assert buf.global_sum == 10
+    state = buf.state_dict()
+    buf2 = HistoryBuffer.from_state_dict(state)
+    assert buf2.avg == buf.avg and len(buf2) == len(buf)
+
+
+def test_metric_storage_smoothing_and_guards():
+    ms = MetricStorage(window_size=2)
+    ms.update(0, loss=1.0)
+    ms.update(0, lr=0.1, smooth=False)
+    ms.update(1, loss=0.5)
+    ms.update(1, lr=0.01, smooth=False)
+    vals = ms.values_maybe_smooth
+    assert vals["loss"] == (1, 0.75)  # smoothed window avg
+    assert vals["lr"] == (1, 0.01)  # latest
+    with pytest.raises(AssertionError):
+        ms.update(2, loss=0.1, smooth=False)  # smooth flag flip
+    with pytest.raises(AssertionError):
+        ms.update(0, loss=0.1)  # non-increasing iteration
+    state = ms.state_dict()
+    ms2 = MetricStorage()
+    ms2.load_state_dict(state)
+    assert ms2.values_maybe_smooth == vals
+
+
+def test_checkpoint_manager_gc(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    for e in range(4):
+        mgr.save(f"epoch_{e}.ckpt", {"epoch": e})
+    files = sorted(os.listdir(tmp_path))
+    assert "epoch_0.ckpt" not in files and "epoch_1.ckpt" not in files
+    assert "epoch_2.ckpt" in files and "epoch_3.ckpt" in files
+    assert os.path.islink(tmp_path / "latest.ckpt")
+    from tactilesr_tpu.runtime import load_checkpoint_file
+
+    assert load_checkpoint_file(str(tmp_path / "latest.ckpt"))["epoch"] == 3
+
+
+def test_scalar_writer_produces_tfevents(tmp_path):
+    w = ScalarWriter(str(tmp_path))
+    for i in range(5):
+        w.add_scalar("loss", 1.0 / (i + 1), i)
+    w.flush()
+    w.close()
+    names = os.listdir(tmp_path)
+    assert any("tfevents" in n for n in names) or "scalars.jsonl" in names
+
+
+def test_config_parser_yaml_and_flags(tmp_path):
+    import yaml
+
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text(yaml.dump({"lr": 0.5, "steps": 7}))
+    p = ConfigArgumentParser()
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--steps", type=int, default=1)
+    args = p.parse_args(["-c", str(cfg_file)])
+    assert args.lr == 0.5 and args.steps == 7
+    # CLI beats YAML
+    args2 = p.parse_args(["-c", str(cfg_file), "--lr", "0.9"])
+    assert args2.lr == 0.9
+    # unknown YAML key -> error
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.dump({"nope": 1}))
+    with pytest.raises(SystemExit):
+        p.parse_args(["-c", str(bad)])
+    # save_args roundtrip
+    out = tmp_path / "saved.yaml"
+    save_args(args, str(out))
+    assert yaml.safe_load(out.read_text())["lr"] == 0.5
+
+
+def test_iteration_based_training(tmp_path, rng):
+    """max_iters mode: trains, checkpoints iter_{i}.ckpt, resumes."""
+    from tactilesr_tpu.config.default import tactileSR_config
+    from tactilesr_tpu.runtime import ConstantLR, LRWarmupSchedule, adam_l2
+    from tactilesr_tpu.tasks.sr_task import SRTrainer, build_model
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(tactileSR_config)
+    cfg.update(
+        save_dir=str(tmp_path / "work"),
+        train_batch_size=8,
+        patternFeatureExtraLayerCnt=1,
+        forceFeatureExtraLayerCnt=1,
+        scale_factor=4,
+        compute_dtype="float32",
+    )
+    lr = (rng.random((16, 3, 4, 4)) * 4).astype(np.float32)
+    hr = np.repeat(np.repeat(lr[:, 2:3], 25, 2), 25, 3).astype(np.float32)
+    model = build_model(cfg)
+    v = jax.device_get(model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False))
+
+    def make(max_iters):
+        return SRTrainer(
+            config=cfg,
+            model=model,
+            variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            tx=adam_l2(weight_decay=1e-2),
+            lr_schedule=LRWarmupSchedule(ConstantLR(1e-4), by_epoch=False),
+            train_arrays={"LR": lr, "HR": hr},
+            batch_size=8,
+            max_iters=max_iters,
+            work_dir=cfg["save_dir"],
+            checkpoint_period=2,
+        )
+
+    t = make(4)
+    t.train(auto_resume=False)
+    ckpts = os.listdir(os.path.join(cfg["save_dir"], "checkpoints"))
+    assert "iter_1.ckpt" in ckpts and "iter_3.ckpt" in ckpts
+
+    t2 = make(6)
+    t2.train(auto_resume=True)
+    assert t2.start_iter == 4
+
+
+def test_device_utils_smoke():
+    from tactilesr_tpu.runtime.device import (
+        parse_device_memory,
+        select_device_with_most_free_memory,
+    )
+
+    info = parse_device_memory()
+    assert len(info) >= 1 and {"index", "free_memory"} <= set(info[0])
+    idx, dev, name, free = select_device_with_most_free_memory()
+    assert 0 <= idx < len(info)
