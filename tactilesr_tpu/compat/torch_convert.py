@@ -40,7 +40,10 @@ logger = logging.getLogger("tactilesr_tpu")
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    # ALWAYS copy: torch state_dicts hold views of live parameters, and a
+    # zero-copy numpy->jax alias would let subsequent in-place optimizer
+    # steps mutate the converted weights under us.
+    return np.array(t, copy=True)
 
 
 def _conv_kernel(t) -> np.ndarray:

@@ -96,3 +96,107 @@ def test_tpsf_net_forward_parity(rng):
     np.testing.assert_allclose(np.asarray(hr_j), hr_t.numpy(), rtol=1e-3, atol=1e-2)
     np.testing.assert_allclose(np.asarray(deg_j), deg_t.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(psf_j), psf_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_training_step_parity(rng):
+    """Same init + same batches: 3 optimizer steps in each framework must
+    produce matching losses and parameters (pins loss wiring, gradients,
+    Adam-with-L2, and BN-stat updates end to end)."""
+    import torch.nn.functional as F
+    from torch import nn, optim
+
+    import jax
+    import optax
+
+    from tactilesr_tpu.runtime.optim import adam_l2, scale_updates_by_lr
+    from tactilesr_tpu.runtime.trainer import masked_mse
+    from tactilesr_tpu.ops.resize import bilinear_resize_matrix
+
+    torch.manual_seed(3)
+    pattern_layers = 1
+    ref = RefTactileSR(
+        scale_factor=10, seqsCnt=1, axisCnt=3,
+        patternFeatureExtraLayerCnt=pattern_layers, forceFeatureExtraLayerCnt=1,
+    )
+    ref.train()
+    variables = convert_tactile_sr(
+        ref.state_dict(), seqs_cnt=1, pattern_layers=pattern_layers, force_layers=1
+    )
+    ours = TactileSR(
+        scale_factor=10, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=1,
+    )
+
+    lr_rate, wd = 1e-3, 1e-2
+    topt = optim.Adam(ref.parameters(), lr=lr_rate, weight_decay=wd)
+    tcrit = nn.MSELoss()
+
+    tx = adam_l2(weight_decay=wd)
+    params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"])
+    opt_state = tx.init(params)
+
+    wh = bilinear_resize_matrix(100, 40)
+
+    @jax.jit
+    def our_step(params, batch_stats, opt_state, x, hr40):
+        def loss_fn(p, bs):
+            out, mut = ours.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return masked_mse(out, hr40, jnp.ones(x.shape[0])), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        updates = scale_updates_by_lr(updates, lr_rate)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    for step in range(3):
+        x = rng.standard_normal((4, 3, 4, 4)).astype(np.float32) * 2
+        hr = (rng.random((4, 1, 100, 100)) * 30).astype(np.float32)
+        hr40 = np.einsum("oh,nchw,pw->ncop", wh, hr / 10.0, wh).astype(np.float32)
+
+        tx_in = torch.from_numpy(x)
+        t_hr40 = F.interpolate(
+            torch.from_numpy(hr) / 10.0, size=(40, 40), mode="bilinear",
+            align_corners=False,
+        )
+        out_t = ref(tx_in)
+        loss_t = tcrit(out_t, t_hr40)
+        topt.zero_grad()
+        loss_t.backward()
+        topt.step()
+
+        params, batch_stats, opt_state, loss_j = our_step(
+            params, batch_stats, opt_state, jnp.asarray(x), jnp.asarray(hr40)
+        )
+        np.testing.assert_allclose(
+            float(loss_j), float(loss_t.detach()), rtol=2e-3,
+            err_msg=f"loss diverged at step {step}",
+        )
+
+    # spot-check parameters after 3 steps
+    sd = ref.state_dict()
+    checks = [
+        ("inputContact_layer.0.weight",
+         np.asarray(params["inputContact_layer"]["conv"]["kernel"]).transpose(3, 2, 0, 1)),
+        ("output_layer.2.weight",
+         np.asarray(params["output_conv1"]["conv"]["kernel"]).transpose(3, 2, 0, 1)),
+        ("inputContact_layer.1.weight",
+         np.asarray(params["inputContact_layer_bn"]["scale"])),
+    ]
+    for key, ours_arr in checks:
+        np.testing.assert_allclose(
+            ours_arr, sd[key].detach().numpy(), rtol=5e-3, atol=1e-5,
+            err_msg=f"param {key} diverged",
+        )
+    # BN running stats follow torch's unbiased update
+    np.testing.assert_allclose(
+        np.asarray(batch_stats["inputContact_layer_bn"]["var"]),
+        sd["inputContact_layer.1.running_var"].numpy(),
+        rtol=1e-3,
+    )
