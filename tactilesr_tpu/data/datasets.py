@@ -97,6 +97,15 @@ class TPSFNetDataset(_StackedPairs):
 def _load_sr_pairs(path: str):
     """Load (LR, HR) stacks from either the fast .npz or the legacy object
     .npy layout."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"SR dataset not found: {path}\n"
+            "Generate it from a trained tPSFNet checkpoint, e.g.:\n"
+            "  python -m tactilesr_tpu.data.generate single "
+            "--tpsf-checkpoint <ckpt> --raw-dir <rotateDataset> --out-dir <dir>\n"
+            "(or 'seqs' for the multi-frame dataset; 'synthetic' fabricates "
+            "raw blobs when no sensor recordings are available)"
+        )
     if path.endswith(".npz"):
         with np.load(path) as z:
             return (

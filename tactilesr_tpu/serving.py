@@ -1,0 +1,160 @@
+"""Serving: compiled batched SR inference from a checkpoint.
+
+The deployment-facing counterpart of the training recipes: load a
+``.ckpt`` (ours) or a converted reference ``.pth``, compile the forward once
+per batch bucket, and stream (N, C, 4, 4) readings to (N, 1, 40, 40)
+contact-pressure maps.
+
+TPU serving shape discipline: inputs are padded up to a fixed set of batch
+buckets so XLA never sees a new shape after warmup; params are device-
+resident; compute runs in bf16 by default (f32 upcast happens only at the
+output).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.tactile_sr import TactileSR
+from .runtime.checkpoint import load_checkpoint_file
+
+__all__ = ["SRPredictor"]
+
+logger = logging.getLogger("tactilesr_tpu")
+
+DEFAULT_BUCKETS = (1, 8, 64, 256, 1024)
+
+
+class SRPredictor:
+    """Compiled TactileSR inference with batch bucketing."""
+
+    def __init__(
+        self,
+        checkpoint_path: str,
+        scale_factor: int = 10,
+        seqs_cnt: int = 1,
+        axis_cnt: int = 3,
+        pattern_layers: int = 6,
+        force_layers: int = 1,
+        compute_dtype: str = "bfloat16",
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.model = TactileSR(
+            scale_factor=scale_factor,
+            seqs_cnt=seqs_cnt,
+            axis_cnt=axis_cnt,
+            pattern_feature_extra_layer_cnt=pattern_layers,
+            force_feature_extra_layer_cnt=force_layers,
+            dtype=jnp.dtype(compute_dtype),
+        )
+        self.in_channels = seqs_cnt * axis_cnt
+        bundle = load_checkpoint_file(checkpoint_path)
+        model_state = bundle["model"]
+        self.variables = {
+            "params": jax.device_put(model_state["params"]),
+            "batch_stats": jax.device_put(model_state.get("batch_stats", {})),
+        }
+        self.buckets = tuple(sorted(buckets))
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+        logger.info(
+            "SRPredictor ready: %s (buckets %s)", checkpoint_path, self.buckets
+        )
+
+    def warmup(self) -> None:
+        """Compile every bucket up front (first query stays fast)."""
+        for b in self.buckets:
+            x = jnp.zeros((b, self.in_channels, 4, 4), jnp.float32)
+            out = self._forward(self.variables, x)
+        float(jnp.asarray(out.ravel()[0]))  # reliable sync on tunneled TPUs
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def predict(self, lr: np.ndarray) -> np.ndarray:
+        """(N, C, 4, 4) raw-scaled readings -> (N, 1, 4s, 4s) SR maps."""
+        lr = np.asarray(lr, np.float32)
+        assert lr.ndim == 4 and lr.shape[1] == self.in_channels, (
+            f"expected (N, {self.in_channels}, 4, 4), got {lr.shape}"
+        )
+        n = lr.shape[0]
+        outs = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            chunk = lr[i : i + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+                )
+            out = self._forward(self.variables, jnp.asarray(chunk))
+            outs.append(np.asarray(out)[: b - pad])
+            i += b - pad
+        return np.concatenate(outs)
+
+
+def _cli():
+    import argparse
+    import json
+    import time
+
+    from . import maybe_force_platform
+    from .runtime.logger import setup_logger
+
+    maybe_force_platform()
+    setup_logger("tactilesr_tpu")
+    p = argparse.ArgumentParser(
+        prog="python -m tactilesr_tpu.serving",
+        description="Batched SR inference from a checkpoint",
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input", required=True, help=".npz with an 'LR' array")
+    p.add_argument("--output", default=None, help=".npz to write 'SR' maps to")
+    p.add_argument("--seqs-cnt", type=int, default=1)
+    p.add_argument("--scale-factor", type=int, default=10)
+    p.add_argument("--pattern-layers", type=int, default=6)
+    p.add_argument("--force-layers", type=int, default=1)
+    p.add_argument("--compute-dtype", default="bfloat16")
+    args = p.parse_args()
+
+    with np.load(args.input) as z:
+        lr = z["LR"]
+    pred = SRPredictor(
+        args.checkpoint,
+        scale_factor=args.scale_factor,
+        seqs_cnt=args.seqs_cnt,
+        pattern_layers=args.pattern_layers,
+        force_layers=args.force_layers,
+        compute_dtype=args.compute_dtype,
+    )
+    pred.warmup()
+    t0 = time.perf_counter()
+    sr = pred.predict(lr)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "frames": int(lr.shape[0]),
+                "seconds": round(dt, 4),
+                "frames_per_sec": round(lr.shape[0] / dt, 1),
+                "output_shape": list(sr.shape),
+            }
+        )
+    )
+    if args.output:
+        np.savez(args.output, SR=sr)
+        logger.info("wrote %s", args.output)
+
+
+if __name__ == "__main__":
+    _cli()

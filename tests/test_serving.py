@@ -1,0 +1,60 @@
+"""Serving: checkpoint load, bucketed batched prediction, padding behavior."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+from tactilesr_tpu.serving import SRPredictor
+from tactilesr_tpu.models.tactile_sr import TactileSR
+
+
+def _make_ckpt(tmp_path, pattern_layers=1):
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=1,
+    )
+    v = jax.device_get(
+        model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    path = str(tmp_path / "model.ckpt")
+    save_checkpoint_file(
+        path,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    return path
+
+
+def test_predict_shapes_and_bucketing(tmp_path, rng):
+    ckpt = _make_ckpt(tmp_path)
+    pred = SRPredictor(
+        ckpt, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4, 16),
+    )
+    pred.warmup()
+    # 10 frames -> one 16-bucket call with padding; result unpadded
+    lr = (rng.random((10, 3, 4, 4)) * 4).astype(np.float32)
+    out = pred.predict(lr)
+    assert out.shape == (10, 1, 16, 16)
+    # padding must not leak into results: single-frame == batched row 0
+    out1 = pred.predict(lr[:1])
+    np.testing.assert_allclose(out1[0], out[0], rtol=1e-5, atol=1e-5)
+
+
+def test_predict_more_than_max_bucket(tmp_path, rng):
+    ckpt = _make_ckpt(tmp_path)
+    pred = SRPredictor(
+        ckpt, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    lr = (rng.random((9, 3, 4, 4)) * 4).astype(np.float32)
+    out = pred.predict(lr)  # 3 chunks of 4 (last padded)
+    assert out.shape == (9, 1, 16, 16)
