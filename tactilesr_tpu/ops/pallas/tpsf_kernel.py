@@ -18,6 +18,14 @@ conv semantics (model/tPSFNet.py:78-141).
 The backward pass falls back to the XLA formulation via custom_vjp
 (recompute); training uses whichever path the config selects, and both are
 cross-checked in tests (interpret mode on CPU, compiled on TPU).
+
+Measured on a v5e chip (batch 1024 forward): XLA separable path 266k
+samples/s, this kernel 187k at full-f32 matmul precision (the per-sample
+100x100 matmuls underfill the MXU, whereas XLA fuses the batch into one
+large contraction).  The kernel therefore ships as an opt-in
+(``use_pallas_physics``) -- the separable XLA formulation is already the
+speed-of-light design for this shape -- and as the template for future
+fused physics variants (larger sensors would tip the balance).
 """
 
 from __future__ import annotations
@@ -46,23 +54,25 @@ __all__ = ["tpsf_physics_fused", "tpsf_physics_pallas_raw"]
 
 
 def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
-    alpha = abm_ref[0, 0]
-    beta = abm_ref[0, 1]
-    m = abm_ref[0, 2]
+    alpha = abm_ref[0, 0, 0]
+    beta = abm_ref[0, 0, 1]
+    m = abm_ref[0, 0, 2]
 
     d = depth_ref[0, :, :].astype(jnp.float32)  # (100, 100)
 
-    # banded PSF operator from iotas (no HBM traffic)
-    i = jax.lax.broadcasted_iota(jnp.float32, (HR_SIZE, HR_SIZE), 0)
-    j = jax.lax.broadcasted_iota(jnp.float32, (HR_SIZE, HR_SIZE), 1)
-    off = j - i
+    # banded PSF operator from iotas (no HBM traffic); Mosaic iota is
+    # integer-only, cast afterwards
+    i = jax.lax.broadcasted_iota(jnp.int32, (HR_SIZE, HR_SIZE), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (HR_SIZE, HR_SIZE), 1)
+    off = (j - i).astype(jnp.float32)
     band = jnp.exp(-C_PSF * off * off / (beta * beta))
     valid = jnp.abs(off) <= PSF_CENTER
     a = jnp.where(valid, band, 0.0)
 
     # HR0 = alpha * A @ D @ A^T  -- MXU
-    t1 = jnp.dot(a, d, preferred_element_type=jnp.float32)
-    hr0 = alpha * jnp.dot(t1, a.T, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    t1 = jnp.dot(a, d, preferred_element_type=jnp.float32, precision=hi)
+    hr0 = alpha * jnp.dot(t1, a.T, preferred_element_type=jnp.float32, precision=hi)
 
     # contact-mask second-max substitution
     mask = d > (jnp.max(d) - DISTURBANCE)
@@ -71,16 +81,18 @@ def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
     hr_ref[0, :, :] = hr
 
     # taxel degradation: U (4,100) from iotas
-    x = jax.lax.broadcasted_iota(jnp.float32, (TAXELS, HR_SIZE), 1)
+    x = jax.lax.broadcasted_iota(jnp.int32, (TAXELS, HR_SIZE), 1).astype(jnp.float32)
     c = (
-        jax.lax.broadcasted_iota(jnp.float32, (TAXELS, HR_SIZE), 0) * TAXEL_PITCH
+        jax.lax.broadcasted_iota(jnp.int32, (TAXELS, HR_SIZE), 0).astype(jnp.float32)
+        * TAXEL_PITCH
         + TAXEL_CENTER_0
     )
     u = jnp.exp(-C_MASK * (x - c) * (x - c) / m)
     t2 = jnp.dot(
-        jnp.dot(u, hr, preferred_element_type=jnp.float32),
+        jnp.dot(u, hr, preferred_element_type=jnp.float32, precision=hi),
         u.T,
         preferred_element_type=jnp.float32,
+        precision=hi,
     )
     mn = jnp.exp(-100.0 / m)
     lr_ref[0, :, :] = (t2 - mn * jnp.sum(hr)) / (1.0 - mn) * DEGRADE_SCALE
@@ -95,11 +107,15 @@ def tpsf_physics_pallas_raw(depth, abm, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b = depth.shape[0]
+    # (B,1,3) so the per-step SMEM block's trailing dims equal the array's
+    # (TPU lowering requires trailing block dims divisible by (8,128) or
+    # equal to the full array dims)
+    abm3 = abm.astype(jnp.float32)[:, None, :]
     return pl.pallas_call(
         _kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
         ],
         out_specs=[
@@ -111,7 +127,7 @@ def tpsf_physics_pallas_raw(depth, abm, interpret: bool | None = None):
             jax.ShapeDtypeStruct((b, TAXELS, TAXELS), jnp.float32),
         ],
         interpret=interpret,
-    )(abm.astype(jnp.float32), depth.astype(jnp.float32))
+    )(abm3, depth.astype(jnp.float32))
 
 
 def _xla_reference(depth, abm):
