@@ -156,3 +156,54 @@ def test_host_loader_shuffles_deterministically(rng):
     for x, y in zip(b1, b2):
         np.testing.assert_array_equal(x, y)
     assert len(l1) == 3
+
+
+def test_load_seq_dataset_sr(tmp_path):
+    from tactilesr_tpu.data import load_seq_dataset_sr
+
+    # 9-position grid layout: needs >= 36 taps (4*i + j + 1 <= 35)
+    path = write_raw_blob(str(tmp_path / "G.npy"), n_taps=36, seed=9, seqs=30)
+    out = load_seq_dataset_sr(path, sample_cnt=4)
+    assert len(out) > 0
+    row = out[0]
+    assert row["LR_0"].shape == (3, 4, 4)
+    assert row["LR_1"].shape == (3, 4, 4)
+    assert row["depth"].shape == (100, 100)
+
+
+def test_model_arch_srcnn_trains(tmp_path, rng):
+    """model_arch='TactileSRCNN' runs through the SR recipe."""
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.config.default import tactileSR_config
+    from tactilesr_tpu.runtime import LRWarmupSchedule, StepLR, adam_l2
+    from tactilesr_tpu.tasks.sr_task import SRTrainer, build_model
+
+    cfg = dict(tactileSR_config)
+    cfg.update(
+        save_dir=str(tmp_path / "work"),
+        model_arch="TactileSRCNN",
+        train_batch_size=8,
+        scale_factor=4,
+        warmup_t=0,
+        compute_dtype="float32",
+    )
+    lr = (rng.random((16, 3, 4, 4)) * 4).astype(np.float32)
+    hr = (rng.random((16, 1, 100, 100)) * 20).astype(np.float32)
+    model = build_model(cfg)
+    assert type(model).__name__ == "TactileSRCNN"
+    v = jax.device_get(model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False))
+    trainer = SRTrainer(
+        config=cfg,
+        model=model,
+        variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+        tx=adam_l2(weight_decay=1e-2),
+        lr_schedule=LRWarmupSchedule(StepLR(1e-4, 2, 0.8), by_epoch=True, epoch_len=2),
+        train_arrays={"LR": lr, "HR": hr},
+        batch_size=8,
+        max_epochs=1,
+        work_dir=cfg["save_dir"],
+    )
+    trainer.train(auto_resume=False)
+    assert np.isfinite(trainer.metric_storage["total_loss"].latest)
