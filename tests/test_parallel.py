@@ -99,3 +99,44 @@ def test_dp_training_runs_and_matches_single_device(tmp_path, rng):
     # params stay replicated
     leaf = jax.tree_util.tree_leaves(t8.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_tpsf_dp_training_runs(tmp_path, rng):
+    """tPSF stage under the 8-device mesh: one epoch, finite loss."""
+    from tactilesr_tpu.config.default import tPSFNet_config
+    from tactilesr_tpu.runtime import LRWarmupSchedule, StepLR, adam_l2
+    from tactilesr_tpu.tasks.tpsf_task import TPSFTrainer, build_model
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(tPSFNet_config)
+    cfg.update(
+        save_dir=str(tmp_path / "work"),
+        train_batch_size=16,
+        compute_dtype="float32",
+    )
+    n = 32
+    lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
+    depth = np.zeros((n, 100, 100), np.float32)
+    depth[:, 30:60, 30:70] = 1.0
+    model = build_model(cfg)
+    v = jax.device_get(
+        model.init(
+            jax.random.key(0), jnp.zeros((1, 3, 4, 4)),
+            jnp.zeros((1, 1, 100, 100)), return_psf=False,
+        )
+    )
+    trainer = TPSFTrainer(
+        config=cfg,
+        model=model,
+        variables={"params": v["params"], "batch_stats": {}},
+        tx=adam_l2(weight_decay=1e-5),
+        lr_schedule=LRWarmupSchedule(StepLR(1e-4, 1, 0.8), by_epoch=True, epoch_len=2),
+        train_arrays={"LR": lr, "depth": depth},
+        batch_size=16,
+        max_epochs=1,
+        work_dir=cfg["save_dir"],
+        mesh=make_mesh(),
+    )
+    trainer.train(auto_resume=False)
+    assert np.isfinite(trainer.metric_storage["total_loss"].latest)
