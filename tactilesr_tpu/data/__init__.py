@@ -12,12 +12,21 @@ from .raw_process import (
     load_raw_dataset,
     load_seq_dataset_sr,
 )
-from .generate import (
-    generate_seqs_srdataset,
-    generate_single_srdataset,
-    tpsf_apply_batched,
-)
 from .synthetic import generate_rotate_dataset, make_tap_record, write_raw_blob
+
+
+def __getattr__(name):
+    # lazy: generate pulls in the model stack; also keeps
+    # `python -m tactilesr_tpu.data.generate` free of double-import warnings
+    if name in (
+        "generate_single_srdataset",
+        "generate_seqs_srdataset",
+        "tpsf_apply_batched",
+    ):
+        from . import generate
+
+        return getattr(generate, name)
+    raise AttributeError(name)
 
 __all__ = [
     "TPSFNetDataset",

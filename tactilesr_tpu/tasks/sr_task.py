@@ -321,7 +321,10 @@ def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] =
         config=config,
         model=model,
         variables=variables,
-        tx=adam_l2(weight_decay=config["weight_decay"]),
+        tx=adam_l2(
+            weight_decay=config["weight_decay"],
+            clip_grad_norm=config.get("clip_grad_norm", 0.0),
+        ),
         lr_schedule=lr_schedule,
         train_arrays={"LR": lr_train, "HR": hr_train},
         batch_size=config["train_batch_size"],

@@ -215,7 +215,10 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
         config=config,
         model=model,
         variables=variables,
-        tx=adam_l2(weight_decay=config["weight_decay"]),
+        tx=adam_l2(
+            weight_decay=config["weight_decay"],
+            clip_grad_norm=config.get("clip_grad_norm", 0.0),
+        ),
         lr_schedule=lr_schedule,
         train_arrays={"LR": lr_train, "depth": depth_train},
         batch_size=config["train_batch_size"],

@@ -147,3 +147,42 @@ def test_device_utils_smoke():
     assert len(info) >= 1 and {"index", "free_memory"} <= set(info[0])
     idx, dev, name, free = select_device_with_most_free_memory()
     assert 0 <= idx < len(info)
+
+
+def test_profiler_hook(tmp_path, rng):
+    """ProfilerHook captures a trace window without disturbing training."""
+    from tactilesr_tpu.config.default import tactileSR_config
+    from tactilesr_tpu.runtime import ConstantLR, LRWarmupSchedule, adam_l2
+    from tactilesr_tpu.runtime.hooks import ProfilerHook
+    from tactilesr_tpu.tasks.sr_task import SRTrainer, build_model
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(tactileSR_config)
+    cfg.update(
+        save_dir=str(tmp_path / "work"),
+        train_batch_size=8,
+        patternFeatureExtraLayerCnt=1,
+        forceFeatureExtraLayerCnt=1,
+        scale_factor=4,
+        compute_dtype="float32",
+    )
+    lr = (rng.random((16, 3, 4, 4)) * 4).astype(np.float32)
+    hr = (rng.random((16, 1, 100, 100)) * 20).astype(np.float32)
+    model = build_model(cfg)
+    v = jax.device_get(model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False))
+    trainer = SRTrainer(
+        config=cfg,
+        model=model,
+        variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+        tx=adam_l2(),
+        lr_schedule=LRWarmupSchedule(ConstantLR(1e-4), by_epoch=True, epoch_len=2),
+        train_arrays={"LR": lr, "HR": hr},
+        batch_size=8,
+        max_epochs=2,
+        work_dir=cfg["save_dir"],
+    )
+    trace_dir = str(tmp_path / "trace")
+    trainer.register_hooks([ProfilerHook(trace_dir, start_iter=1, num_iters=2)])
+    trainer.train(auto_resume=False)
+    assert os.path.isdir(trace_dir) and len(os.listdir(trace_dir)) > 0
