@@ -57,13 +57,20 @@ def bench_train():
     from tactilesr_tpu.runtime import LRWarmupSchedule, StepLR, adam_l2
     from tactilesr_tpu.tasks.sr_task import SRTrainer, build_model
 
+    # stdout must carry exactly one JSON line: claim the console handler
+    # for stderr before any trainer sets one up
+    from tactilesr_tpu.runtime.logger import setup_logger
+
+    setup_logger("tactilesr_tpu", stream=sys.stderr)
+
     wait_for_quiet(jnp, jax)
     rng = np.random.default_rng(0)
     best = (0.0, 0)
-    for batch in (32, 1024):
+    for batch in (32, 256):
         cfg = dict(tactileSR_config)
         cfg.update(save_dir=f"/tmp/bench_train_{batch}", train_batch_size=batch, warmup_t=0)
-        n = max(batch * 2, 2048)
+        steps = 24
+        n = batch * steps
         lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
         hr = (rng.random((n, 1, 100, 100)) * 50).astype(np.float32)
         model = build_model(cfg)
@@ -72,23 +79,16 @@ def bench_train():
             config=cfg, model=model,
             variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
             tx=adam_l2(weight_decay=1e-2),
-            lr_schedule=LRWarmupSchedule(StepLR(1e-3, 2, 0.8), by_epoch=True, epoch_len=10),
-            train_arrays={"LR": lr, "HR": hr}, batch_size=batch, max_epochs=1,
-            work_dir=cfg["save_dir"],
+            lr_schedule=LRWarmupSchedule(StepLR(1e-3, 2, 0.8), by_epoch=True, epoch_len=steps),
+            train_arrays={"LR": lr, "HR": hr}, batch_size=batch, max_epochs=2,
+            work_dir=cfg["save_dir"], scan_epochs=True,
         )
-        tr._train_step = tr._build_train_step()
-        idx = np.arange(batch)
-        mask = np.ones(batch, np.float32)
-        tr.train_one_iter(idx, mask)
-        tr.flush_metrics()
-        iters = 12
+        tr._epoch_scan = tr._build_epoch_scan()
+        tr.train_one_epoch_scan()  # compile + warm epoch
+        tr.cur_iter = tr.epoch_len
         t0 = time.perf_counter()
-        for _ in range(iters):
-            tr.cur_iter += 1
-            tr.train_one_iter(idx, mask)
-        tr.flush_metrics()
-        float(jax.tree_util.tree_leaves(tr.state.params)[0].ravel()[0])
-        dt = (time.perf_counter() - t0) / iters
+        tr.train_one_epoch_scan()  # one full epoch = one device dispatch
+        dt = (time.perf_counter() - t0) / tr.epoch_len
         sps = batch / dt
         log(f"train B={batch}: {dt*1e3:.1f} ms/step -> {sps:,.0f} samples/s")
         if sps > best[0]:

@@ -32,6 +32,9 @@ common_config = {
     "deterministic": False,
     "scale_num": 100,  # raw taxel readings are divided by this
     "compute_dtype": "bfloat16",
+    # whole-epoch lax.scan training (one device dispatch per epoch; same
+    # trajectory as per-iter mode, minus per-iteration hook callbacks)
+    "scan_epochs": False,
 }
 
 # ---------------------------------------------------------------- tPSFNet

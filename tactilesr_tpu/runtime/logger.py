@@ -44,9 +44,12 @@ def setup_logger(
     output_dir: Optional[str] = None,
     process_index: int = 0,
     level: int = logging.INFO,
+    stream=None,
 ) -> logging.Logger:
     """Idempotent logger setup: console handler on process 0 only; a
-    per-process file handler when ``output_dir`` is given."""
+    per-process file handler when ``output_dir`` is given.  ``stream``
+    overrides the console destination (first caller wins -- benchmarks use
+    stderr so stdout can carry machine-readable output)."""
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
@@ -55,7 +58,7 @@ def setup_logger(
     console_key = (name, "console", process_index)
     if process_index == 0 and console_key not in _LOGGER_INITIALIZED:
         _LOGGER_INITIALIZED.add(console_key)
-        ch = logging.StreamHandler(sys.stdout)
+        ch = logging.StreamHandler(stream if stream is not None else sys.stdout)
         ch.setFormatter(_ColorFormatter(fmt, datefmt="%m/%d %H:%M:%S"))
         logger.addHandler(ch)
 

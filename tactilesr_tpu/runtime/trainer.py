@@ -98,9 +98,13 @@ class Trainer:
         log_period: int = 50,
         mesh=None,
         seed: int = 42,
+        scan_epochs: bool = False,
     ):
         assert (max_epochs > 0) ^ (max_iters > 0), (
             "specify either max_epochs or max_iters"
+        )
+        assert not (scan_epochs and max_iters > 0), (
+            "scan_epochs requires epoch-based training"
         )
         self.model = model
         self.tx = tx
@@ -144,6 +148,8 @@ class Trainer:
         self._hooks: List[HookBase] = []
         self._pending: List[Tuple[int, Dict[str, Any], float, float, float]] = []
         self._train_step = None
+        self._epoch_scan = None
+        self.scan_epochs = scan_epochs
         self._max_num_checkpoints = max_num_checkpoints
         self._checkpoint_period = checkpoint_period
         self._log_period = log_period
@@ -260,6 +266,102 @@ class Trainer:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def _build_epoch_scan(self):
+        """Whole-epoch training as ONE device dispatch: lax.scan over the
+        epoch's (idx, mask, lr) triples.  Removes per-step dispatch latency
+        entirely -- the TPU-native shape for models this small.  Per-iter
+        hooks do not fire inside the scan (metrics for every step are still
+        recorded); the recipes' hooks are all epoch-cadenced."""
+        tx = self.tx
+
+        def step_fn(state: TrainState, inputs, data):
+            idx, mask, lr = inputs
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            batch["mask"] = mask
+
+            def loss_wrap(params, batch_stats):
+                loss, loss_dict, new_bs = self.train_cal_loss(
+                    params, batch_stats, batch
+                )
+                return loss, (loss_dict, new_bs)
+
+            (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
+                loss_wrap, has_aux=True
+            )(state.params, state.batch_stats)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = scale_updates_by_lr(updates, lr)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    params=new_params,
+                    batch_stats=new_bs,
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                ),
+                loss_dict,
+            )
+
+        def epoch_fn(state, data, idxs, masks, lrs):
+            return jax.lax.scan(
+                lambda s, x: step_fn(s, x, data), state, (idxs, masks, lrs)
+            )
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def _epoch_lrs(self, steps: int) -> np.ndarray:
+        """Per-step LRs for the upcoming epoch, advancing the real schedule
+        exactly as per-iter training would (iter_update per step)."""
+        lrs = np.empty(steps, np.float32)
+        for k in range(steps):
+            lrs[k] = self.lr_schedule.get_lr()
+            self.lr_schedule.iter_update()
+        return lrs
+
+    def train_one_epoch_scan(self) -> None:
+        from ..data.loader import epoch_batches
+
+        epoch_start = time.perf_counter()
+        pairs = list(
+            epoch_batches(self.n_train, self.batch_size, shuffle=True, rng=self._rng)
+        )
+        idxs = np.stack([p[0] for p in pairs])
+        masks = np.stack([p[1] for p in pairs])
+        steps = idxs.shape[0]
+        base_iter = self.cur_iter
+        lrs = self._epoch_lrs(steps)
+
+        idxs_j = jnp.asarray(idxs)
+        masks_j = jnp.asarray(masks)
+        if self._bshard is not None:
+            # shard the per-step batch axis (axis 1) over the data axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            step_shard = NamedSharding(self.mesh, P(None, "data"))
+            idxs_j = jax.device_put(idxs_j, step_shard)
+            masks_j = jax.device_put(masks_j, step_shard)
+
+        self.state, loss_stack = self._epoch_scan(
+            self.state, self.device_arrays, idxs_j, masks_j, jnp.asarray(lrs)
+        )
+        fetched = jax.device_get(loss_stack)  # blocks until the scan finishes
+        per_step = (time.perf_counter() - epoch_start) / steps
+        for k in range(steps):
+            it = base_iter + k
+            metrics = {name: float(vals[k]) for name, vals in fetched.items()}
+            total = sum(metrics.values())
+            if not np.isfinite(total):
+                raise FloatingPointError(
+                    f"Loss became infinite or NaN at iteration={it}! "
+                    f"loss_dict={metrics}."
+                )
+            if is_main_process():
+                self.log(it, lr=float(lrs[k]), smooth=False)
+                self.log(it, data_time=0.0)
+                self.log(it, iter_time=per_step)
+                self.log(it, total_loss=total)
+                if len(metrics) > 1:
+                    self.log(it, **metrics)
+
     def train_one_iter(self, idx: np.ndarray, mask: np.ndarray) -> None:
         iter_start = time.perf_counter()
         start = time.perf_counter()
@@ -309,6 +411,25 @@ class Trainer:
             self.load_checkpoint(path=resume_from_checkpoint)
         else:
             self.load_checkpoint(auto_resume=auto_resume)
+
+        if self.scan_epochs:
+            if self._epoch_scan is None:
+                self._epoch_scan = self._build_epoch_scan()
+            logger.info(
+                "Start training (epoch-scan mode) from iteration %d", self.start_iter
+            )
+            assert self.start_iter % self.epoch_len == 0, (
+                "epoch-scan resume must land on an epoch boundary"
+            )
+            self._call_hooks("before_train")
+            for epoch in range(self.start_iter // self.epoch_len, self.max_epochs):
+                self.cur_iter = epoch * self.epoch_len
+                self._call_hooks("before_epoch")
+                self.train_one_epoch_scan()
+                self.cur_iter = (epoch + 1) * self.epoch_len - 1
+                self._call_hooks("after_epoch")
+            self._call_hooks("after_train")
+            return
 
         if self._train_step is None:
             self._train_step = self._build_train_step()

@@ -333,6 +333,7 @@ def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] =
         checkpoint_period=config["checkpoint_period"],
         mesh=mesh,
         seed=config["random_seed"],
+        scan_epochs=bool(config.get("scan_epochs", False)),
     )
 
     test_arrays = {"LR": lr_test, "HR": hr_test}

@@ -227,6 +227,7 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
         checkpoint_period=config["checkpoint_period"],
         mesh=mesh,
         seed=config["random_seed"],
+        scan_epochs=bool(config.get("scan_epochs", False)),
     )
 
     trainer.register_hooks(

@@ -163,3 +163,52 @@ def test_adam_l2_matches_torch_adam(rng):
     np.testing.assert_allclose(
         np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-4, atol=1e-6
     )
+
+
+def test_scan_epochs_matches_per_iter_trajectory(tmp_path, rng):
+    """Epoch-scan mode must reproduce the per-iter trajectory exactly
+    (same seed => same permutations => same updates)."""
+    lr, hr = _toy_data(rng)
+
+    cfg_a = _toy_config(str(tmp_path / "a"))
+    ta = _make_trainer(cfg_a, lr, hr, max_epochs=2)
+    ta.train(auto_resume=False)
+
+    cfg_b = _toy_config(str(tmp_path / "b"))
+    model = build_model(cfg_b)
+    variables = jax.device_get(
+        model.init(jax.random.key(42), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    from tactilesr_tpu.runtime import LRWarmupSchedule, StepLR
+
+    tb = SRTrainer(
+        config=cfg_b,
+        model=model,
+        variables={
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        },
+        tx=adam_l2(weight_decay=cfg_b["weight_decay"]),
+        lr_schedule=LRWarmupSchedule(
+            StepLR(cfg_b["lr"], cfg_b["lr_scheduler_step_size"], cfg_b["lr_scheduler_gamma"]),
+            by_epoch=True,
+            epoch_len=-(-lr.shape[0] // cfg_b["train_batch_size"]),
+        ),
+        train_arrays={"LR": lr, "HR": hr},
+        batch_size=cfg_b["train_batch_size"],
+        max_epochs=2,
+        work_dir=cfg_b["save_dir"],
+        seed=42,
+        scan_epochs=True,
+    )
+    tb.train(auto_resume=False)
+
+    la = ta.metric_storage["total_loss"]
+    lb = tb.metric_storage["total_loss"]
+    assert len(la) == len(lb)
+    np.testing.assert_allclose(la.latest, lb.latest, rtol=1e-4)
+    pa = jax.tree_util.tree_leaves(jax.device_get(ta.state.params))[0]
+    pb = jax.tree_util.tree_leaves(jax.device_get(tb.state.params))[0]
+    np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
+    # checkpoints written per epoch in scan mode too
+    assert os.path.exists(os.path.join(cfg_b["save_dir"], "checkpoints", "epoch_1.ckpt"))
