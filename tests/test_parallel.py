@@ -140,3 +140,17 @@ def test_tpsf_dp_training_runs(tmp_path, rng):
     )
     trainer.train(auto_resume=False)
     assert np.isfinite(trainer.metric_storage["total_loss"].latest)
+
+
+def test_scan_epochs_under_mesh(tmp_path, rng):
+    """Epoch-scan mode composes with the 8-device DP mesh."""
+    lr = (rng.random((32, 3, 4, 4)) * 4).astype(np.float32)
+    hr = np.repeat(np.repeat(lr[:, 2:3], 25, 2), 25, 3).astype(np.float32)
+    cfg = _cfg(str(tmp_path / "scan_dp"))
+    mesh = make_mesh()
+    t = _trainer(cfg, lr, hr, mesh=mesh, max_epochs=2)
+    t.scan_epochs = True
+    t.train(auto_resume=False)
+    assert np.isfinite(t.metric_storage["total_loss"].latest)
+    leaf = jax.tree_util.tree_leaves(t.state.params)[0]
+    assert leaf.sharding.is_fully_replicated

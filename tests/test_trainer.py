@@ -212,3 +212,19 @@ def test_scan_epochs_matches_per_iter_trajectory(tmp_path, rng):
     np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
     # checkpoints written per epoch in scan mode too
     assert os.path.exists(os.path.join(cfg_b["save_dir"], "checkpoints", "epoch_1.ckpt"))
+
+
+def test_scan_epochs_resume(tmp_path, rng):
+    """Scan-mode auto-resume continues from the epoch boundary."""
+    lr, hr = _toy_data(rng)
+    cfg = _toy_config(str(tmp_path))
+
+    t1 = _make_trainer(cfg, lr, hr, max_epochs=2)
+    t1.scan_epochs = True
+    t1.train(auto_resume=False)
+
+    t2 = _make_trainer(cfg, lr, hr, max_epochs=4, seed=5)
+    t2.scan_epochs = True
+    t2.train(auto_resume=True)
+    assert t2.start_iter == 2 * t2.epoch_len
+    assert len(t2.metric_storage["total_loss"]) == 4 * t2.epoch_len
