@@ -228,3 +228,24 @@ def test_scan_epochs_resume(tmp_path, rng):
     t2.train(auto_resume=True)
     assert t2.start_iter == 2 * t2.epoch_len
     assert len(t2.metric_storage["total_loss"]) == 4 * t2.epoch_len
+
+
+def test_bf16_compute_trains(tmp_path, rng):
+    """compute_dtype=bfloat16 (the TPU default policy) learns on CPU too."""
+    cfg = _toy_config(str(tmp_path), compute_dtype="bfloat16")
+    lr, hr = _toy_data(rng)
+    trainer = _make_trainer(cfg, lr, hr, max_epochs=3)
+    trainer.train(auto_resume=False)
+    losses = trainer.metric_storage["total_loss"]
+    assert np.isfinite(losses.latest)
+    assert losses.latest < losses.global_avg
+
+
+def test_dataset_smaller_than_batch(tmp_path, rng):
+    """n < batch_size: single padded batch per epoch, masked loss exact."""
+    cfg = _toy_config(str(tmp_path), train_batch_size=16)
+    lr, hr = _toy_data(rng, n=5)
+    trainer = _make_trainer(cfg, lr, hr, max_epochs=2)
+    assert trainer.epoch_len == 1
+    trainer.train(auto_resume=False)
+    assert np.isfinite(trainer.metric_storage["total_loss"].latest)
