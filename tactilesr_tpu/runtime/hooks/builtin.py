@@ -176,4 +176,8 @@ class LoggerHook(HookBase):
 
     def after_epoch(self) -> None:
         self.trainer.flush_metrics()
+        if getattr(self.trainer, "scan_epochs", False):
+            # per-iter callbacks don't fire inside the epoch scan; give the
+            # console one summary line per epoch instead
+            self._write_console()
         self._write_tensorboard()

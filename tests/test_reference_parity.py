@@ -20,10 +20,14 @@ torch = pytest.importorskip("torch")
 if not os.path.isdir(os.path.join(REFERENCE, "model")):
     pytest.skip("reference checkout not available", allow_module_level=True)
 sys.path.insert(0, REFERENCE)
-
-from model.tactileSR_model import TactileSR as RefTactileSR  # noqa: E402
-from model.tactileSR_model import TactileSRCNN as RefTactileSRCNN  # noqa: E402
-from model.tPSFNet import tPSFNet as RefTPSFNet  # noqa: E402
+try:
+    from model.tactileSR_model import TactileSR as RefTactileSR  # noqa: E402
+    from model.tactileSR_model import TactileSRCNN as RefTactileSRCNN  # noqa: E402
+    from model.tPSFNet import tPSFNet as RefTPSFNet  # noqa: E402
+finally:
+    # don't leave the reference checkout shadowing top-level names
+    # (model/config/utility/...) for the rest of the test session
+    sys.path.remove(REFERENCE)
 
 from tactilesr_tpu.compat.torch_convert import (  # noqa: E402
     convert_tactile_sr,
