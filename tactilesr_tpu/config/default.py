@@ -33,7 +33,9 @@ common_config = {
     "scale_num": 100,  # raw taxel readings are divided by this
     "compute_dtype": "bfloat16",
     # whole-epoch lax.scan training (one device dispatch per epoch; same
-    # trajectory as per-iter mode, minus per-iteration hook callbacks)
+    # trajectory as per-iter mode, minus per-iteration hook callbacks).
+    # TPU-targeted: compiles in ~40s there; the CPU backend can take minutes
+    # to compile the scanned conv graph at batch>=32.
     "scan_epochs": False,
 }
 
