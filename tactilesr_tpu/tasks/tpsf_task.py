@@ -76,10 +76,9 @@ def build_eval_fn(trainer: TPSFTrainer, test_arrays: Dict[str, np.ndarray]):
 
     lr_all, depth_all = test_arrays["LR"], test_arrays["depth"]
     n = lr_all.shape[0]
-    nb = n // bs if n >= bs else 1
-    take = nb * bs if n >= bs else n
-    # only the first sample of each batch is scored -- gather those rows
-    firsts = np.arange(0, take, bs) if n >= bs else np.array([0])
+    # only the first sample of each test batch is scored (incl. the final
+    # partial batch), matching the reference's eval loop
+    firsts = np.arange(0, n, bs)
     lr_f = jnp.asarray(lr_all[firsts])
     depth_f = jnp.asarray(depth_all[firsts])
 
