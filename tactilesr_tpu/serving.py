@@ -125,10 +125,18 @@ def _cli():
     p.add_argument("--pattern-layers", type=int, default=6)
     p.add_argument("--force-layers", type=int, default=1)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument(
+        "--evaluate",
+        action="store_true",
+        help="if the input .npz has an 'HR' array, report PSNR/SSIM vs it",
+    )
+    p.add_argument("--hr-scale-num", type=float, default=10.0)
+    p.add_argument("--max-value", type=float, default=250.0)
     args = p.parse_args()
 
     with np.load(args.input) as z:
         lr = z["LR"]
+        hr = z["HR"] if args.evaluate and "HR" in z else None
     pred = SRPredictor(
         args.checkpoint,
         scale_factor=args.scale_factor,
@@ -141,16 +149,27 @@ def _cli():
     t0 = time.perf_counter()
     sr = pred.predict(lr)
     dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "frames": int(lr.shape[0]),
-                "seconds": round(dt, 4),
-                "frames_per_sec": round(lr.shape[0] / dt, 1),
-                "output_shape": list(sr.shape),
-            }
+    report = {
+        "frames": int(lr.shape[0]),
+        "seconds": round(dt, 4),
+        "frames_per_sec": round(lr.shape[0] / dt, 1),
+        "output_shape": list(sr.shape),
+    }
+    if hr is not None:
+        import jax.numpy as jnp2
+
+        from .metrics import batched_psnr, batched_ssim
+        from .tasks.sr_task import prepare_sr_labels
+
+        cfg = {"scale_factor": args.scale_factor, "HR_scale_num": args.hr_scale_num}
+        hr_lab = prepare_sr_labels(hr, cfg)
+        ps = np.asarray(
+            batched_psnr(jnp2.asarray(sr[:, 0]), jnp2.asarray(hr_lab[:, 0]), args.max_value)
         )
-    )
+        ss = np.asarray(batched_ssim(jnp2.asarray(sr[:, 0]), jnp2.asarray(hr_lab[:, 0])))
+        report["psnr_db"] = round(float(ps.mean()), 4)
+        report["ssim"] = round(float(ss.mean()), 4)
+    print(json.dumps(report))
     if args.output:
         np.savez(args.output, SR=sr)
         logger.info("wrote %s", args.output)
