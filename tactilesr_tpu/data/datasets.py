@@ -20,7 +20,7 @@ Two on-disk formats are understood for SR pairs:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import List, Sequence, Union
 
 import numpy as np
 

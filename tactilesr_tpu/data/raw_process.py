@@ -25,7 +25,7 @@ variable-length contact extraction is padded/subsampled to fixed
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import List, Sequence, Union
 
 import numpy as np
 
@@ -35,8 +35,10 @@ __all__ = [
     "extract_contact_seqs",
     "binarize_depth",
     "augment_rotations",
+    "scale_depth_by_force",
     "load_raw_dataset",
     "load_seq_dataset_sr",
+    "frames_to_maps",
 ]
 
 

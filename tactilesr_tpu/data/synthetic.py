@@ -21,20 +21,36 @@ __all__ = ["make_tap_record", "write_raw_blob", "generate_rotate_dataset"]
 _SHAPES = ("circle", "square", "triangle", "bar")
 
 
-def _depth_map(shape_name: str, rng: np.random.Generator, px: int = 100) -> np.ndarray:
-    """A binary-ish contact silhouette with smooth borders."""
+def _depth_map(
+    shape_name: str,
+    rng: np.random.Generator,
+    px: int = 100,
+    center=None,
+    angle_deg: float = 0.0,
+    radius: float = None,
+) -> np.ndarray:
+    """A binary-ish contact silhouette with smooth borders; ``center`` /
+    ``angle_deg`` let callers build the rotateDataset's translation x
+    rotation grid (same object pose family across a tap group)."""
     y, x = np.mgrid[0:px, 0:px].astype(np.float32)
-    cx = px / 2 + rng.uniform(-8, 8)
-    cy = px / 2 + rng.uniform(-8, 8)
-    r = px * rng.uniform(0.15, 0.3)
+    if center is None:
+        cx = px / 2 + rng.uniform(-8, 8)
+        cy = px / 2 + rng.uniform(-8, 8)
+    else:
+        cx, cy = center
+    r = radius if radius is not None else px * rng.uniform(0.15, 0.3)
+    # rotate the sampling frame by -angle (object rotated by +angle)
+    th = np.deg2rad(angle_deg)
+    xr = np.cos(th) * (x - cx) + np.sin(th) * (y - cy)
+    yr = -np.sin(th) * (x - cx) + np.cos(th) * (y - cy)
     if shape_name == "circle":
-        d = ((x - cx) ** 2 + (y - cy) ** 2) < r * r
+        d = (xr**2 + yr**2) < r * r
     elif shape_name == "square":
-        d = (np.abs(x - cx) < r) & (np.abs(y - cy) < r)
+        d = (np.abs(xr) < r) & (np.abs(yr) < r)
     elif shape_name == "triangle":
-        d = (y - cy > -(r / 1.2)) & (np.abs(x - cx) < (y - cy + r) / 2)
+        d = (yr > -(r / 1.2)) & (np.abs(xr) < (yr + r) / 2)
     else:  # bar
-        d = (np.abs(x - cx) < r / 3) & (np.abs(y - cy) < r * 1.4)
+        d = (np.abs(xr) < r / 3) & (np.abs(yr) < r * 1.4)
     depth = d.astype(np.float32)
     depth += 0.05 * rng.standard_normal((px, px)).astype(np.float32)
     return depth
@@ -79,9 +95,12 @@ def make_tap_record(
     shape_name: Optional[str] = None,
     seqs: int = 64,
     px: int = 100,
+    center=None,
+    angle_deg: float = 0.0,
+    radius: float = None,
 ) -> dict:
     shape_name = shape_name or _SHAPES[sample_idx % len(_SHAPES)]
-    depth = _depth_map(shape_name, rng, px)
+    depth = _depth_map(shape_name, rng, px, center=center, angle_deg=angle_deg, radius=radius)
     lrs = _press_sequence(depth, seqs, rng)
     return {"sample_idx": sample_idx, "depth": depth, "LRs": lrs}
 
@@ -93,12 +112,35 @@ def write_raw_blob(
     shape_name: Optional[str] = None,
     seqs: int = 64,
     px: int = 100,
+    grid: bool = True,
 ) -> str:
-    """Write one raw blob with ``n_taps`` tap records (object .npy)."""
+    """Write one raw blob with ``n_taps`` tap records (object .npy).
+
+    With ``grid=True`` (default) taps follow the rotateDataset layout the
+    reference's index arithmetic assumes: one contact shape per blob, taps
+    grouped 9-per-translation, rotations 0,5,...,40 degrees within a group
+    (reference data/SeqsDataset/seqsDepth2Tactile.py:47-56 consumes
+    rotations 0..30 of each group).  ``grid=False`` gives independent taps.
+    """
     rng = np.random.default_rng(seed)
     records = np.empty(n_taps, dtype=object)
+    blob_shape = shape_name or _SHAPES[seed % len(_SHAPES)]
+    radius = px * rng.uniform(0.18, 0.28)
+    centers = {}
     for i in range(n_taps):
-        records[i] = make_tap_record(i, rng, shape_name, seqs, px)
+        if grid:
+            trans, rot = i // 9, i % 9
+            if trans not in centers:
+                centers[trans] = (
+                    px / 2 + rng.uniform(-10, 10),
+                    px / 2 + rng.uniform(-10, 10),
+                )
+            records[i] = make_tap_record(
+                i, rng, blob_shape, seqs, px,
+                center=centers[trans], angle_deg=5.0 * rot, radius=radius,
+            )
+        else:
+            records[i] = make_tap_record(i, rng, shape_name, seqs, px)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.save(path, records, allow_pickle=True)
     return path

@@ -10,7 +10,7 @@ biased one; we reproduce that here so eval-mode outputs match.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

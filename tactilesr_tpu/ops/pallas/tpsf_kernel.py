@@ -30,8 +30,6 @@ fused physics variants (larger sensors would tip the balance).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

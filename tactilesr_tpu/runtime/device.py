@@ -10,7 +10,7 @@ formality -- but the API surface is preserved for drop-in migration.
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 __all__ = [
     "parse_device_memory",

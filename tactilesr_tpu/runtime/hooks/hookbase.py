@@ -14,9 +14,6 @@ step never calls back into Python; hooks observe the trainer's host state
 
 from __future__ import annotations
 
-import weakref
-from typing import TYPE_CHECKING
-
 __all__ = ["HookBase"]
 
 

@@ -13,8 +13,6 @@ schedule, zero retraces), and updates are scaled by -lr there.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

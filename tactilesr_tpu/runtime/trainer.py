@@ -51,7 +51,7 @@ from .checkpoint import (
     merge_pytree_strict_false,
 )
 from .history import MetricStorage
-from .hooks import CheckpointHook, EvalHook, HookBase, LoggerHook, LRUpdateHook
+from .hooks import CheckpointHook, HookBase, LoggerHook, LRUpdateHook
 from .logger import setup_logger
 from .misc import collect_env
 from .optim import scale_updates_by_lr

@@ -14,7 +14,7 @@ output).
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

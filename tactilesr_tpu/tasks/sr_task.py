@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -29,7 +28,7 @@ from ..data.datasets import TactileSRDataset, TactileSRDatasetSeq
 from ..metrics import psnr as psnr_fn
 from ..metrics import ssim as ssim_fn
 from ..models.tactile_sr import TactileSR
-from ..runtime.checkpoint import load_checkpoint_file, merge_pytree_strict_false
+from ..runtime.checkpoint import load_checkpoint_file
 from ..runtime.hooks import EvalHook, HookBase
 from ..runtime.misc import set_random_seed
 from ..runtime.optim import adam_l2
