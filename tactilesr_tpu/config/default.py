@@ -114,6 +114,9 @@ tactileSeqs_config = {
     "load_checkpoint_dir": os.path.join(
         root_path, "pth/tactileSR_single/checkpoints/epoch_50.ckpt"
     ),
+    # opt-in LR warmup for the seqs stage (the reference entry wires none,
+    # which can dead-ReLU the fresh output head; see tasks/sr_task.py)
+    "seqs_use_warmup": False,
     "save_dir": os.path.join(root_path, "pth/tactileSeqs_seq_7"),
     "train_dataset_dir": os.path.join(
         root_path, "data/SeqsDataset/SRdataset_train_32.npz"

@@ -301,7 +301,14 @@ def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] =
     epochs = max_epochs or config["epochs"]
     n_train = lr_train.shape[0]
     epoch_len = -(-n_train // config["train_batch_size"])
-    warmup_t = config.get("warmup_t", 0) if not seqs else 0
+    # parity: the reference's seqs entry never wires warmup (its fresh output
+    # head can ReLU-die against the transferred trunk's large activations);
+    # set seqs_use_warmup=true to opt in
+    warmup_t = (
+        config.get("warmup_t", 0)
+        if (not seqs or config.get("seqs_use_warmup", False))
+        else 0
+    )
     lr_schedule = LRWarmupSchedule(
         StepLR(
             config["lr"],
