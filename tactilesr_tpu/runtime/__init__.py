@@ -10,7 +10,14 @@ from .device import (
     test_device,
 )
 from .history import HistoryBuffer, MetricStorage
-from .hooks import CheckpointHook, EvalHook, HookBase, LoggerHook, LRUpdateHook
+from .hooks import (
+    CheckpointHook,
+    EvalHook,
+    HookBase,
+    LoggerHook,
+    LRUpdateHook,
+    ProfilerHook,
+)
 from .logger import ScalarWriter, setup_logger
 from .misc import collect_env, set_random_seed
 from .optim import adam_l2, scale_updates_by_lr
@@ -26,6 +33,7 @@ __all__ = [
     "CheckpointHook",
     "LoggerHook",
     "LRUpdateHook",
+    "ProfilerHook",
     "MetricStorage",
     "HistoryBuffer",
     "LRWarmupSchedule",

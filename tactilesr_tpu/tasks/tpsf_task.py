@@ -253,3 +253,44 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
 
     trainer.train(auto_resume=False)
     return trainer
+
+
+def inspect_checkpoint(config, checkpoint_path: str, save_name: str = "out.png"):
+    """Standalone tPSF inspection (capability parity with the reference's
+    test_tPSF entry, train/tPSFNet_train.py:306-332): load a trained
+    checkpoint and render the alpha/beta-vs-force curves over the two
+    configured press sequences without training."""
+    from ..runtime.checkpoint import load_checkpoint_file
+    from ..runtime.logger import setup_logger
+
+    setup_logger("tactilesr_tpu")
+    config = dict(config or tPSFNet_config)
+    model = build_model(config)
+    bundle = load_checkpoint_file(checkpoint_path)
+    params = bundle["model"]["params"]
+
+    seq_arrays = []
+    for key in ("test_dataset_dir_1", "test_dataset_dir_2"):
+        ds = SingleTapSeqsDataset(
+            config[key], [config["inference_index"]], config["inference_seqs_length"]
+        )
+        lr_s, depth_s = ds.stacked()
+        seq_arrays.append({"LR": lr_s, "depth": depth_s})
+
+    class _Shim:
+        pass
+
+    hook = InferenceHookTPSF(*seq_arrays, scale_num=config["scale_num"])
+    shim = _Shim()
+    shim.model = model
+
+    class _State:
+        pass
+
+    st = _State()
+    st.params = params
+    shim.state = st
+    hook.trainer = shim
+    hook.render(save_name)
+    logger.info("wrote %s", save_name)
+    return save_name
