@@ -204,3 +204,100 @@ def test_training_step_parity(rng):
         sd["inputContact_layer.1.running_var"].numpy(),
         rtol=1e-3,
     )
+
+
+def test_two_epoch_training_and_eval_parity(rng):
+    """Drive BOTH frameworks through 2 full epochs (identical init, identical
+    batch order, reduced model) and compare the final held-out PSNR/SSIM --
+    the end-to-end version of the 0.1 dB parity requirement, on synthetic
+    data since the reference snapshot ships no real recordings."""
+    import torch.nn.functional as F
+    from torch import nn, optim
+
+    import jax
+    import optax
+
+    from tactilesr_tpu.metrics import batched_psnr, batched_ssim
+    from tactilesr_tpu.ops.resize import bilinear_resize_matrix
+    from tactilesr_tpu.runtime.optim import adam_l2, scale_updates_by_lr
+    from tactilesr_tpu.runtime.trainer import masked_mse
+
+    pattern_layers, scale, bsz = 1, 4, 16
+    hw = 4 * scale
+    torch.manual_seed(7)
+    ref = RefTactileSR(
+        scale_factor=scale, seqsCnt=1, axisCnt=3,
+        patternFeatureExtraLayerCnt=pattern_layers, forceFeatureExtraLayerCnt=1,
+    )
+    ref.train()
+    variables = convert_tactile_sr(
+        ref.state_dict(), seqs_cnt=1, pattern_layers=pattern_layers, force_layers=1
+    )
+    ours = TactileSR(
+        scale_factor=scale, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=1,
+    )
+
+    # learnable synthetic task
+    n_train, n_test = 48, 16
+    lr_all = (rng.random((n_train + n_test, 3, 4, 4)) * 4).astype(np.float32)
+    hr_all = np.repeat(np.repeat(lr_all[:, 2:3] * 10, 25, 2), 25, 3).astype(np.float32)
+    wh = bilinear_resize_matrix(100, hw)
+    hr40_all = np.einsum("oh,nchw,pw->ncop", wh, hr_all / 10.0, wh).astype(np.float32)
+    tr_lr, tr_hr = lr_all[:n_train], hr40_all[:n_train]
+    te_lr, te_hr = lr_all[n_train:], hr40_all[n_train:]
+
+    lr_rate, wd = 1e-3, 1e-2
+    topt = optim.Adam(ref.parameters(), lr=lr_rate, weight_decay=wd)
+    tcrit = nn.MSELoss()
+
+    tx = adam_l2(weight_decay=wd)
+    params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+    bstats = jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"])
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def our_step(params, bstats, opt_state, x, y):
+        def loss_fn(p, bs):
+            out, mut = ours.apply(
+                {"params": p, "batch_stats": bs}, x, train=True, mutable=["batch_stats"]
+            )
+            return masked_mse(out, y, jnp.ones(x.shape[0])), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bstats)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, scale_updates_by_lr(updates, lr_rate)),
+            new_bs,
+            new_opt,
+        )
+
+    order_rng = np.random.default_rng(11)
+    for _epoch in range(2):
+        perm = order_rng.permutation(n_train)
+        for b in range(n_train // bsz):
+            idx = perm[b * bsz : (b + 1) * bsz]
+            x, y = tr_lr[idx], tr_hr[idx]
+            out_t = ref(torch.from_numpy(x))
+            loss_t = tcrit(out_t, torch.from_numpy(y))
+            topt.zero_grad()
+            loss_t.backward()
+            topt.step()
+            params, bstats, opt_state = our_step(
+                params, bstats, opt_state, jnp.asarray(x), jnp.asarray(y)
+            )
+
+    # identical eval-mode metrics on the held-out split
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(te_lr)).numpy()
+    out_ours = np.asarray(
+        ours.apply({"params": params, "batch_stats": bstats}, jnp.asarray(te_lr), train=False)
+    )
+    psnr_ref = float(np.mean(np.asarray(batched_psnr(jnp.asarray(out_ref[:, 0]), jnp.asarray(te_hr[:, 0]), 250.0))))
+    psnr_ours = float(np.mean(np.asarray(batched_psnr(jnp.asarray(out_ours[:, 0]), jnp.asarray(te_hr[:, 0]), 250.0))))
+    ssim_ref = float(np.mean(np.asarray(batched_ssim(jnp.asarray(out_ref[:, 0]), jnp.asarray(te_hr[:, 0])))))
+    ssim_ours = float(np.mean(np.asarray(batched_ssim(jnp.asarray(out_ours[:, 0]), jnp.asarray(te_hr[:, 0])))))
+    assert abs(psnr_ours - psnr_ref) < 0.1, (psnr_ours, psnr_ref)  # the 0.1 dB bar
+    assert abs(ssim_ours - ssim_ref) < 0.01, (ssim_ours, ssim_ref)
