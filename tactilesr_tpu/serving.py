@@ -103,6 +103,46 @@ class SRPredictor:
         return np.concatenate(outs)
 
 
+def export_stablehlo(
+    checkpoint_path: str,
+    out_path: str,
+    batch: int = 256,
+    scale_factor: int = 10,
+    seqs_cnt: int = 1,
+    pattern_layers: int = 6,
+    force_layers: int = 1,
+    compute_dtype: str = "bfloat16",
+) -> str:
+    """Serialize the SR forward (weights baked in) as a portable StableHLO
+    artifact via ``jax.export`` -- loadable by any jax process
+    (``jax.export.deserialize(...).call(x)``) or downstream StableHLO
+    consumers, with no dependency on this package at serving time."""
+    import jax
+    from jax import export as jexport
+
+    pred = SRPredictor(
+        checkpoint_path,
+        scale_factor=scale_factor,
+        seqs_cnt=seqs_cnt,
+        pattern_layers=pattern_layers,
+        force_layers=force_layers,
+        compute_dtype=compute_dtype,
+        buckets=(batch,),
+    )
+    variables = pred.variables
+
+    def fwd(x):
+        return pred.model.apply(variables, x, train=False)
+
+    spec = jax.ShapeDtypeStruct((batch, pred.in_channels, 4, 4), jnp.float32)
+    exported = jexport.export(jax.jit(fwd))(spec)
+    data = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(data)
+    logger.info("exported StableHLO (%d bytes) -> %s", len(data), out_path)
+    return out_path
+
+
 def _cli():
     import argparse
     import json

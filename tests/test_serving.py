@@ -58,3 +58,27 @@ def test_predict_more_than_max_bucket(tmp_path, rng):
     lr = (rng.random((9, 3, 4, 4)) * 4).astype(np.float32)
     out = pred.predict(lr)  # 3 chunks of 4 (last padded)
     assert out.shape == (9, 1, 16, 16)
+
+
+def test_stablehlo_export_roundtrip(tmp_path, rng):
+    from jax import export as jexport
+
+    from tactilesr_tpu.serving import export_stablehlo
+
+    ckpt = _make_ckpt(tmp_path)
+    path = export_stablehlo(
+        ckpt, str(tmp_path / "model.stablehlo"), batch=4,
+        scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32",
+    )
+    with open(path, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    x = (rng.random((4, 3, 4, 4)) * 4).astype(np.float32)
+    out = np.asarray(restored.call(jnp.asarray(x)))
+
+    pred = SRPredictor(
+        ckpt, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    want = pred.predict(x)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
