@@ -1,0 +1,77 @@
+"""Small remaining units: DeviceData residency, dist helpers (single-process
+identities), env report, platform forcing, serving error paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tactilesr_tpu.data.loader import DeviceData
+from tactilesr_tpu.parallel import (
+    all_gather_object,
+    get_rank,
+    get_world_size,
+    init_distributed,
+    is_main_process,
+    reduce_dict,
+)
+from tactilesr_tpu.runtime.misc import collect_env, set_random_seed
+
+
+def test_device_data_gather(rng):
+    arrays = {
+        "a": rng.random((10, 3)).astype(np.float32),
+        "b": rng.random((10, 4, 4)).astype(np.float32),
+    }
+    dd = DeviceData(arrays)
+    assert dd.n == 10
+    idx = jnp.asarray([2, 5, 7])
+    batch = dd.batch(idx)
+    np.testing.assert_allclose(np.asarray(batch["a"]), arrays["a"][[2, 5, 7]])
+    assert isinstance(dd.arrays["a"], jax.Array)
+
+
+def test_dist_single_process_identities():
+    assert init_distributed() == 0
+    assert get_rank() == 0
+    assert get_world_size() == 1
+    assert is_main_process()
+    red = reduce_dict({"x": 2.0, "y": 4})
+    assert red == {"x": 2.0, "y": 4.0}
+    assert all_gather_object(3.5) == [3.5]
+
+
+def test_collect_env_mentions_jax_and_devices():
+    report = collect_env()
+    assert "jax" in report and "device count" in report
+
+
+def test_set_random_seed_deterministic_numpy():
+    set_random_seed(123)
+    a = np.random.rand(3)
+    set_random_seed(123)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+    s = set_random_seed(-1)  # random seed path
+    assert s >= 0
+
+
+def test_serving_missing_checkpoint_raises(tmp_path):
+    from tactilesr_tpu.serving import SRPredictor
+
+    with pytest.raises(FileNotFoundError):
+        SRPredictor(str(tmp_path / "nope.ckpt"), scale_factor=4)
+
+
+def test_predictor_rejects_wrong_channels(tmp_path, rng):
+    from tactilesr_tpu.serving import SRPredictor
+    from tests.test_serving import _make_ckpt
+
+    ckpt = _make_ckpt(tmp_path)
+    pred = SRPredictor(
+        ckpt, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    with pytest.raises(AssertionError):
+        pred.predict(rng.random((2, 6, 4, 4)).astype(np.float32))
