@@ -37,6 +37,10 @@ common_config = {
     # TPU-targeted: compiles in ~40s there; the CPU backend can take minutes
     # to compile the scanned conv graph at batch>=32.
     "scan_epochs": False,
+    # data parallelism over the local device mesh: "auto" uses every device
+    # the batch size divides over (single device -> no mesh), "off" disables,
+    # an integer requests exactly N devices.  See parallel/mesh.py.
+    "data_parallel": "auto",
 }
 
 # ---------------------------------------------------------------- tPSFNet

@@ -12,11 +12,13 @@ from .mesh import (
     batch_sharding,
     make_mesh,
     replicated_sharding,
+    resolve_mesh,
     shard_batch_size,
 )
 
 __all__ = [
     "make_mesh",
+    "resolve_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch_size",

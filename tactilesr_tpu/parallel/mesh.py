@@ -20,7 +20,8 @@ A 'model' axis is part of the mesh signature for forward-compatibility
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import logging
+from typing import Optional, Sequence, Union
 
 import jax
 import numpy as np
@@ -31,7 +32,10 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch_size",
+    "resolve_mesh",
 ]
+
+logger = logging.getLogger("tactilesr_tpu")
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -68,3 +72,53 @@ def shard_batch_size(batch_size: int, mesh: Mesh) -> int:
         f"size {ndata}"
     )
     return batch_size // ndata
+
+
+def resolve_mesh(
+    spec: Union[str, int, None] = "auto",
+    batch_size: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Optional[Mesh]:
+    """Mesh from the ``data_parallel`` config knob -- the product-surface
+    entry to scaling (the role the reference's ``init_distributed`` plays for
+    every entry script, cpu/distributed.py:171-217).
+
+    - ``"off"`` / ``0`` / ``1`` / ``None`` / ``False``: single device (no mesh);
+    - ``"auto"`` (default): all local devices, shrunk to the largest count
+      that divides ``batch_size`` (with a warning) so recipes never die on a
+      divisibility error they didn't opt into;
+    - an integer N: exactly N devices -- asserts availability and
+      batch divisibility (a mis-sized explicit request is a user error).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if spec in (None, False, "off", "0", "1", 0, 1):
+        return None
+    n = len(devices)
+    if spec == "auto":
+        ndata = n
+        if batch_size is not None:
+            while batch_size % ndata:
+                ndata -= 1
+            if ndata != n:
+                logger.warning(
+                    "data_parallel=auto: batch size %d not divisible by %d "
+                    "devices; using a %d-device data axis",
+                    batch_size,
+                    n,
+                    ndata,
+                )
+        if ndata <= 1:
+            return None
+        return make_mesh(devices[:ndata])
+    ndata = int(spec)
+    assert 1 <= ndata <= n, (
+        f"data_parallel={ndata} requested but only {n} devices are present"
+    )
+    if batch_size is not None and ndata > 1:
+        assert batch_size % ndata == 0, (
+            f"batch size {batch_size} must be divisible by data_parallel={ndata}"
+        )
+    if ndata == 1:
+        return None
+    return make_mesh(devices[:ndata])

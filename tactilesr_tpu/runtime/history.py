@@ -32,10 +32,17 @@ class HistoryBuffer:
 
     @property
     def latest(self) -> float:
+        if not self._values:
+            raise ValueError(
+                "HistoryBuffer is empty: no value has been logged yet "
+                "(e.g. a plateau LR update before any evaluation ran)"
+            )
         return self._values[-1]
 
     @property
     def avg(self) -> float:
+        if not self._values:
+            raise ValueError("HistoryBuffer is empty: no value has been logged yet")
         return sum(self._values) / len(self._values)
 
     @property

@@ -159,7 +159,22 @@ class LoggerHook(HookBase):
                 pieces.append(f"{key}: {storage[key].avg:.4f}s")
         if "lr" in storage:
             pieces.append(f"lr: {storage['lr'].latest:.3g}")
+        mem = self._max_device_memory()
+        if mem > 0:
+            pieces.append(f"max_mem: {mem / 2**30:.1f}G")
         logger.info("  ".join(pieces))
+
+    @staticmethod
+    def _max_device_memory() -> int:
+        """Max bytes_in_use across local devices (the reference logs CUDA
+        max_memory_allocated every period, cpu/hooks/logger_hook.py:59-68);
+        0 when the backend exposes no memory stats (e.g. CPU)."""
+        from ..device import parse_device_memory
+
+        try:
+            return max((d["used_memory"] for d in parse_device_memory()), default=0)
+        except Exception:
+            return 0
 
     def _write_tensorboard(self) -> None:
         storage = self.trainer.metric_storage

@@ -44,7 +44,7 @@ import optax
 from flax import serialization, struct
 
 from ..parallel.dist import get_world_size, is_main_process
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import batch_sharding, replicated_sharding, shard_batch_size
 from .checkpoint import (
     CheckpointManager,
     load_checkpoint_file,
@@ -130,6 +130,10 @@ class Trainer:
 
         # --- device placement: data replicated, state replicated
         if mesh is not None:
+            # fail here with a clear message instead of inside XLA's
+            # sharding propagation (every epoch batch is padded to the full
+            # batch_size, so this is the only divisibility that matters)
+            shard_batch_size(batch_size, mesh)
             self._repl = replicated_sharding(mesh)
             self._bshard = batch_sharding(mesh)
             put = lambda x: jax.device_put(x, self._repl)

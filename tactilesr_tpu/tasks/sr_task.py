@@ -137,6 +137,25 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
     lr_b = jnp.asarray(lr_pad.reshape(nb, bs, *lr_all.shape[1:]))
     hr_b = jnp.asarray(hr_pad.reshape(nb, bs, *hr_all.shape[1:]))
     mask_b = jnp.asarray(mask.reshape(nb, bs))
+    mesh = trainer.mesh
+    if mesh is not None:
+        # shard each lax.map step's batch axis (axis 1) over the data axis so
+        # evaluation uses the whole mesh, not one device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndata = mesh.shape["data"]
+        if bs % ndata == 0:
+            eval_shard = NamedSharding(mesh, P(None, "data"))
+            lr_b = jax.device_put(lr_b, eval_shard)
+            hr_b = jax.device_put(hr_b, eval_shard)
+            mask_b = jax.device_put(mask_b, eval_shard)
+        else:
+            logger.warning(
+                "test_batch_size %d not divisible by the %d-device data axis; "
+                "evaluation runs unsharded",
+                bs,
+                ndata,
+            )
 
     @jax.jit
     def eval_all(params, batch_stats):
@@ -267,6 +286,20 @@ def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] =
     setup_logger("tactilesr_tpu")  # console from the first line; file handler
     # attaches when the trainer knows the work dir
     set_random_seed(config["random_seed"], config["deterministic"])
+
+    if mesh is None:
+        from ..parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(
+            config.get("data_parallel", "auto"),
+            batch_size=config["train_batch_size"],
+        )
+        if mesh is not None:
+            logger.info(
+                "Data parallelism: %d-device mesh %s",
+                mesh.devices.size,
+                dict(mesh.shape),
+            )
 
     ds_cls = TactileSRDatasetSeq if seqs else TactileSRDataset
     train_ds = ds_cls(config["train_dataset_dir"])

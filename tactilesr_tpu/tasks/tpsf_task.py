@@ -170,6 +170,20 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
     setup_logger("tactilesr_tpu")
     set_random_seed(config["random_seed"], config["deterministic"])
 
+    if mesh is None:
+        from ..parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(
+            config.get("data_parallel", "auto"),
+            batch_size=config["train_batch_size"],
+        )
+        if mesh is not None:
+            logger.info(
+                "Data parallelism: %d-device mesh %s",
+                mesh.devices.size,
+                dict(mesh.shape),
+            )
+
     train_ds = TPSFNetDataset(
         config["dataset_dir"],
         sample_cnt=config["sample_cnt"],
