@@ -1,5 +1,6 @@
 from .dist import (
     all_gather_object,
+    gather_object,
     get_rank,
     get_world_size,
     init_distributed,
@@ -30,4 +31,5 @@ __all__ = [
     "is_main_process",
     "reduce_dict",
     "all_gather_object",
+    "gather_object",
 ]
