@@ -276,10 +276,17 @@ def transfer_trunk_params(seqs_variables: dict, single_bundle: dict) -> dict:
     return out
 
 
-def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] = None):
+def main(
+    config=None,
+    seqs: bool = False,
+    mesh=None,
+    max_epochs: Optional[int] = None,
+    auto_resume: bool = False,
+):
     """Train tactileSR end to end from a config dict (STSR by default;
     ``seqs=True`` uses the SeqsDataset + trunk transfer -- the
-    tactileSRSeqs_train entry)."""
+    tactileSRSeqs_train entry).  ``auto_resume=True`` continues from
+    ``latest.ckpt`` in the work dir when one exists."""
     config = dict(config or tactileSR_config)
     from ..runtime.logger import setup_logger
 
@@ -380,5 +387,5 @@ def main(config=None, seqs: bool = False, mesh=None, max_epochs: Optional[int] =
     if config.get("inference_test"):
         trainer.register_hooks([InferenceHookSR(test_arrays, config)])
 
-    trainer.train(auto_resume=False)
+    trainer.train(auto_resume=auto_resume)
     return trainer
