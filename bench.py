@@ -1,19 +1,24 @@
 #!/usr/bin/env python3
 """Headline benchmark: TactileSR (STSR, full size) inference throughput on
-one chip -- SR frames/sec at the full 4x4 -> 40x40 upscale, bf16 compute.
+one chip -- SR frames/sec at the full 4x4 -> 40x40 upscale, bf16 compute,
+through the fused serving graph (models/inference.py: BN folding + parallel
+conv merge + concat-input splitting; exact rewrites of the training graph).
 
 Baseline (BASELINE.md north star): > 10,000 frames/sec/chip.
 ``vs_baseline`` = measured / 10,000.
 
 Prints exactly ONE JSON line on stdout.  Diagnostics go to stderr.
+All measured numbers are also recorded in RESULTS.md (single source of
+truth for the prose docs).
 
 Measurement notes for tunneled TPUs (axon): ``block_until_ready`` does not
 reliably await remote completion, so every sync point here is a scalar
 ``device_get`` of the latest output; throughput is measured by dispatching a
 pipeline of ``iters`` steps and timing to the final fetch, which amortizes
 the tunnel's round-trip latency the same way a production serving loop does.
-A small-op drain poll runs first so a backlogged relay doesn't pollute the
-numbers.
+Small-bucket latency medians therefore INCLUDE one tunnel round-trip -- they
+are an upper bound on device latency.  A small-op drain poll runs first so a
+backlogged relay doesn't pollute the numbers.
 """
 
 import json
@@ -49,7 +54,8 @@ def wait_for_quiet(jnp, jax, patience_s: float = 300.0) -> None:
 def bench_train():
     """Secondary benchmark: training throughput (samples/sec) of the full
     STSR train step (fwd+bwd+Adam+BN update), vs the reference's measured
-    torch-CPU rate of ~1.54 samples/s at B=32 (same machine)."""
+    torch-CPU rate at B=32 on this machine (see
+    scripts/measure_ref_baseline.py for the provenance of ``ref_cpu``)."""
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +99,9 @@ def bench_train():
         log(f"train B={batch}: {dt*1e3:.1f} ms/step -> {sps:,.0f} samples/s")
         if sps > best[0]:
             best = (sps, batch)
-    ref_cpu = 1.54  # measured reference torch-CPU samples/s at B=32
+    ref_cpu = 1.72  # reference torch-CPU samples/s at B=32 (conservative max
+    # of observed runs: 1.54-1.72); reproduce with
+    # `python scripts/measure_ref_baseline.py` (requires /root/reference)
     print(
         json.dumps(
             {
@@ -110,6 +118,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tactilesr_tpu.models.inference import (
+        fold_inference_params,
+        tactile_sr_infer,
+    )
     from tactilesr_tpu.models.tactile_sr import TactileSR
 
     dev = jax.devices()[0]
@@ -125,33 +137,48 @@ def main():
         dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
-    init_x = jnp.asarray(rng.random((8, 3, 4, 4)).astype(np.float32))
     t0 = time.time()
-    variables = model.init(jax.random.key(0), init_x, train=False)
-    log(f"init: {time.time()-t0:.1f}s")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+    folded = jax.device_put(fold_inference_params(variables, dtype=jnp.bfloat16))
+    log(f"init+fold: {time.time()-t0:.1f}s")
 
-    @jax.jit
-    def forward(variables, x):
-        return model.apply(variables, x, train=False)
+    def forward(x):
+        return tactile_sr_infer(folded, x)
 
     best_fps = 0.0
     best_batch = 0
-    for batch in (1024, 2048, 4096):
+    for batch in (2048, 4096, 8192):
         x = jax.device_put(rng.random((batch, 3, 4, 4)).astype(np.float32))
         t0 = time.time()
-        out = forward(variables, x)
+        out = forward(x)
         float(jnp.asarray(out[0, 0, 0, 0]))  # true sync (compile + warm)
         log(f"batch {batch}: compile+warm {time.time()-t0:.1f}s")
         iters = 12
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = forward(variables, x)
+            out = forward(x)
         float(jnp.asarray(out[0, 0, 0, 0]))  # drain the pipeline
         dt = time.perf_counter() - t0
         fps = batch * iters / dt
         log(f"batch {batch}: {fps:,.0f} frames/s ({dt/iters*1e3:.2f} ms/iter)")
         if fps > best_fps:
             best_fps, best_batch = fps, batch
+
+    # small-bucket serving latency (median of 20 round-trips; includes one
+    # tunnel RTT per call on axon -- an upper bound on device latency)
+    latency_ms = {}
+    for batch in (1, 8, 64):
+        x = jax.device_put(rng.random((batch, 3, 4, 4)).astype(np.float32))
+        out = forward(x)
+        float(jnp.asarray(out[0, 0, 0, 0]))
+        ts = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            out = forward(x)
+            float(jnp.asarray(out[0, 0, 0, 0]))
+            ts.append(time.perf_counter() - t0)
+        latency_ms[f"B{batch}"] = round(float(np.median(ts)) * 1e3, 2)
+        log(f"latency B={batch}: median {latency_ms[f'B{batch}']} ms")
 
     log(f"best: batch {best_batch} -> {best_fps:,.0f} frames/s")
     print(
@@ -163,13 +190,16 @@ def main():
                 "vs_baseline": round(best_fps / BASELINE_FPS, 3),
                 "extras": {
                     "note": (
-                        "compute-bound: ~145 TFLOP/s effective on the 14.5 "
-                        "GFLOP/frame model (linear batch scaling 2048->4096)"
+                        "fused serving graph (BN fold + parallel-conv merge + "
+                        "concat splits, models/inference.py); ~87% of the "
+                        "14.9 GFLOP/frame bf16 roofline; full numbers in "
+                        "RESULTS.md"
                     ),
+                    "latency_ms_median_incl_tunnel_rtt": latency_ms,
                     "train_throughput": (
-                        "see `python bench.py --train`: 2,793 samples/s "
-                        "(epoch-scan, B=256) = 36x the 50x-torch-CPU target; "
-                        "1,463x raw torch-CPU at the recipe's B=32"
+                        "see `python bench.py --train` and RESULTS.md; "
+                        "torch-CPU reference baseline provenance: "
+                        "scripts/measure_ref_baseline.py"
                     ),
                 },
             }

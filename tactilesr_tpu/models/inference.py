@@ -1,0 +1,263 @@
+"""Serving-specialized TactileSR forward: identical math, restructured graph.
+
+Three exact graph rewrites applied once at load time (host-side, f32):
+
+1. **BatchNorm folding** -- eval-mode BN is the affine map
+   ``y = (x - mean) * scale/sqrt(var+eps) + bias``; folding it into the
+   preceding convolution's kernel/bias removes every BN from the serving
+   graph (the reference serves through the full train-graph in eval mode,
+   model/tactileSR_model.py:18-98 + test/test_model.py).
+2. **Parallel-kernel merging** -- MSRB's parallel 3x3 and 5x5 convolutions
+   over the same input become ONE 5x5 convolution with the 3x3 kernel
+   zero-embedded and the output channels stacked.  The merged output *is*
+   the concat, so the (B, 40, 40, 128) concat buffer is never materialized,
+   and the conv's output-channel dim fills the TPU's 128-wide lane tiling
+   instead of running two half-filled convs.  Zero-padding a kernel is
+   exact: the MXU accumulates in f32 and the extra taps contribute 0.
+3. **Concat-input splitting** -- ``conv(concat(a, b))`` becomes
+   ``conv_a(a) + conv_b(b)`` by splitting the kernel along input channels
+   (bias rides on one half).  Applied to MSRB's confusion 1x1, the output
+   head's first conv, and the multi-sequence branch fuse, removing the
+   remaining concats from the hot path.
+
+All rewrites are algebraically exact in f32; in bf16 they differ from the
+layer-by-layer graph only by rounding (folded weights are quantized once
+instead of BN running in f32 post-conv).  Parity is asserted in
+tests/test_inference_fused.py against the training-graph forward.
+
+The public entry points are :func:`fold_inference_params` (host-side, once
+per checkpoint) and :func:`tactile_sr_infer` (pure, jittable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_bilinear, upsample_bilinear
+
+__all__ = ["fold_inference_params", "tactile_sr_infer"]
+
+_EPS = 1e-5  # torch BatchNorm2d default, matches models/layers.py
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x), np.float32)
+
+
+def _fold_bn(kernel, bias, bn_params, bn_stats):
+    """Fold eval-mode BN into the preceding conv's (kernel, bias).
+
+    kernel: (kh, kw, cin, cout); bias: (cout,) or None.
+    """
+    kernel = _np(kernel)
+    scale = _np(bn_params["scale"])
+    bn_bias = _np(bn_params["bias"])
+    mean = _np(bn_stats["mean"])
+    var = _np(bn_stats["var"])
+    s = scale / np.sqrt(var + _EPS)
+    k = kernel * s  # broadcasts over the trailing (cout) axis
+    b = bias if bias is not None else np.zeros(kernel.shape[-1], np.float32)
+    b = (_np(b) - mean) * s + bn_bias
+    return k, b
+
+
+def _embed_3_in_5(k3: np.ndarray) -> np.ndarray:
+    """Zero-embed a (3,3,cin,cout) kernel at the center of a 5x5 window."""
+    kh, kw, cin, cout = k3.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((5, 5, cin, cout), np.float32)
+    out[1:4, 1:4] = k3
+    return out
+
+
+def fold_inference_params(
+    variables: dict,
+    *,
+    seqs_cnt: int = 1,
+    pattern_layers: int = 6,
+    force_layers: int = 1,
+    dtype: Any = jnp.bfloat16,
+) -> dict:
+    """Rewrite trained TactileSR variables into the fused serving layout.
+
+    Returns a flat dict of arrays already cast to the compute ``dtype``
+    (biases and resize weights stay f32 -- they feed f32 epilogues).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: dict[str, np.ndarray] = {}
+
+    def cbr(name):
+        k, b = _fold_bn(
+            params[name]["conv"]["kernel"],
+            params[name]["conv"].get("bias"),
+            params[f"{name}_bn"],
+            stats[f"{name}_bn"],
+        )
+        out[f"{name}/k"] = k
+        out[f"{name}/b"] = b
+
+    for s in range(seqs_cnt):
+        cbr(f"inputLayer_pattern_{s}_conv0")
+        cbr(f"inputLayer_pattern_{s}_conv1")
+
+    # inputContact reads concat(branch_0..branch_{S-1}); split per branch
+    ick, icb = _fold_bn(
+        params["inputContact_layer"]["conv"]["kernel"],
+        None,
+        params["inputContact_layer_bn"],
+        stats["inputContact_layer_bn"],
+    )
+    for s in range(seqs_cnt):
+        out[f"inputContact/k{s}"] = ick[:, :, s * 64 : (s + 1) * 64, :]
+    out["inputContact/b"] = icb
+
+    for i in range(pattern_layers):
+        blk = params[f"patternFeatureExtra_layer_{i}"]
+        bst = stats[f"patternFeatureExtra_layer_{i}"]
+        pre = f"msrb_{i}"
+
+        def fold(name):
+            return _fold_bn(
+                blk[name]["conv"]["kernel"],
+                blk[name]["conv"].get("bias"),
+                blk[f"{name}_bn"],
+                bst[f"{name}_bn"],
+            )
+
+        # parallel 3x3/5x5 over x -> one 5x5 conv 64->128 (output IS `mid`)
+        k3, b3 = fold("conv_3_1")
+        k5, b5 = fold("conv_5_1")
+        out[f"{pre}/stage1/k"] = np.concatenate([_embed_3_in_5(k3), k5], axis=-1)
+        out[f"{pre}/stage1/b"] = np.concatenate([b3, b5])
+
+        # second pair stays as two convs over `mid` (merging would add 47%
+        # FLOPs to the dominant 128-ch convs); BN folded
+        k32, b32 = fold("conv_3_2")
+        k52, b52 = fold("conv_5_2")
+        out[f"{pre}/conv32/k"] = k32
+        out[f"{pre}/conv32/b"] = b32
+        out[f"{pre}/conv52/k"] = k52
+        out[f"{pre}/conv52/b"] = b52
+
+        # confusion 1x1 reads concat(out32, out52): split input channels
+        ck = _np(blk["confusion"]["conv"]["kernel"])
+        out[f"{pre}/conf/k32"] = ck[:, :, :128, :]
+        out[f"{pre}/conf/k52"] = ck[:, :, 128:, :]
+        out[f"{pre}/conf/b"] = _np(blk["confusion"]["conv"]["bias"])
+
+    out["force_in/k"] = _np(params["input_layer_force"]["conv"]["kernel"])
+    for i in range(force_layers):
+        blk = params[f"forceFeatureExtra_layer_{i}"]
+        out[f"res_{i}/conv1/k"] = _np(blk["conv1"]["conv"]["kernel"])
+        out[f"res_{i}/conv1/b"] = _np(blk["conv1"]["conv"]["bias"])
+        out[f"res_{i}/conv2/k"] = _np(blk["conv2"]["conv"]["kernel"])
+        out[f"res_{i}/conv2/b"] = _np(blk["conv2"]["conv"]["bias"])
+
+    # output head: conv0 reads concat(force, pattern) -> split halves
+    hk = _np(params["output_conv0"]["conv"]["kernel"])
+    out["head0/kf"] = hk[:, :, :64, :]
+    out["head0/kp"] = hk[:, :, 64:, :]
+    out["head1/k"] = _np(params["output_conv1"]["conv"]["kernel"])
+
+    dt = jnp.dtype(dtype)
+    return {
+        k: jnp.asarray(v, dt if k.rsplit("/", 1)[-1].startswith("k") else jnp.float32)
+        for k, v in out.items()
+    }
+
+
+def _conv(x, kernel, bias=None, *, pad: int):
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor",
+        "seqs_cnt",
+        "axis_cnt",
+        "pattern_layers",
+        "force_layers",
+    ),
+)
+def tactile_sr_infer(
+    folded: dict,
+    x: jnp.ndarray,
+    *,
+    scale_factor: int = 10,
+    seqs_cnt: int = 1,
+    axis_cnt: int = 3,
+    pattern_layers: int = 6,
+    force_layers: int = 1,
+) -> jnp.ndarray:
+    """Fused serving forward: (B, seqs*axis, 4, 4) f32 -> (B, 1, 4s, 4s) f32.
+
+    Semantics match ``TactileSR.apply(..., train=False)``
+    (models/tactile_sr.py:44-98); the graph is the rewritten one described
+    in the module docstring.
+    """
+    dt = folded["head1/k"].dtype
+    relu = jax.nn.relu
+    x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC, f32
+
+    # pattern branches -> split-fused inputContact
+    acc = None
+    for s in range(seqs_cnt):
+        xs = x[..., s * axis_cnt : (s + 1) * axis_cnt]
+        xs = upsample_bilinear(xs, scale_factor).astype(dt)
+        h = relu(_conv(xs, folded[f"inputLayer_pattern_{s}_conv0/k"],
+                       folded[f"inputLayer_pattern_{s}_conv0/b"], pad=1))
+        h = relu(_conv(h, folded[f"inputLayer_pattern_{s}_conv1/k"],
+                       folded[f"inputLayer_pattern_{s}_conv1/b"], pad=1))
+        c = _conv(h, folded[f"inputContact/k{s}"], pad=1)
+        acc = c if acc is None else acc + c
+    pattern = relu(acc + folded["inputContact/b"].astype(acc.dtype))
+
+    # MSRB trunk (merged stage-1, split confusion)
+    for i in range(pattern_layers):
+        pre = f"msrb_{i}"
+        mid = relu(_conv(pattern, folded[f"{pre}/stage1/k"],
+                         folded[f"{pre}/stage1/b"], pad=2))
+        o32 = relu(_conv(mid, folded[f"{pre}/conv32/k"],
+                         folded[f"{pre}/conv32/b"], pad=1))
+        o52 = relu(_conv(mid, folded[f"{pre}/conv52/k"],
+                         folded[f"{pre}/conv52/b"], pad=2))
+        conf = (
+            _conv(o32, folded[f"{pre}/conf/k32"], pad=0)
+            + _conv(o52, folded[f"{pre}/conf/k52"], pad=0)
+            + folded[f"{pre}/conf/b"].astype(o32.dtype)
+        )
+        pattern = relu(conf + pattern)
+
+    # force branch
+    force = upsample_bilinear(x[..., :axis_cnt], scale_factor).astype(dt)
+    force = relu(_conv(force, folded["force_in/k"], pad=1))
+    for i in range(force_layers):
+        y = relu(_conv(force, folded[f"res_{i}/conv1/k"],
+                       folded[f"res_{i}/conv1/b"], pad=1))
+        y = _conv(y, folded[f"res_{i}/conv2/k"], folded[f"res_{i}/conv2/b"], pad=1)
+        force = relu(force + y)
+
+    # split-fused head
+    out = relu(_conv(force, folded["head0/kf"], pad=1)
+               + _conv(pattern, folded["head0/kp"], pad=1))
+    out = relu(_conv(out, folded["head1/k"], pad=1))
+
+    hw = 4 * scale_factor
+    out = resize_bilinear(out, (hw, hw))
+    return jnp.transpose(out, (0, 3, 1, 2)).astype(jnp.float32)

@@ -1,6 +1,7 @@
-"""Fused tPSF physics as a single Pallas TPU kernel.
+"""Fused tPSF physics as a batch-tiled Pallas TPU kernel.
 
-One kernel invocation per batch element computes, entirely in VMEM:
+Each grid step loads a tile of ``TILE`` samples into VMEM and, per sample,
+computes entirely on-chip:
 
   1. the banded PSF operator  A[i,j] = exp(-C_PSF*(j-i)^2 / beta^2),
      |j-i| <= 49  (built on the fly from iotas -- never touches HBM),
@@ -9,23 +10,27 @@ One kernel invocation per batch element computes, entirely in VMEM:
   4. the taxel degradation LR[i,j] = (U @ HR @ U^T - mn*sum(HR)) * 1e-4/(1-mn)
      with U[t,x] = exp(-C_MASK*(x - c_t)^2 / m).
 
-Fusing steps 1-4 keeps every intermediate (A: 40 KB, HR: 40 KB) on-chip;
-the XLA path materializes the per-sample band matrices and HR maps in HBM
+Fusing steps 1-4 keeps every intermediate (A: 40 KB, HR: 40 KB) in VMEM; the
+XLA path materializes the per-sample band matrices and HR maps in HBM
 between ops.  Mathematically identical to ops/psf.py's separable
 formulation, which itself is golden-tested against the reference's direct
 conv semantics (model/tPSFNet.py:78-141).
 
+Why the tile: the per-sample (100,100) matmuls underfill the MXU and, one
+sample per grid step, the launch/DMA latency dominates (round 1 measured
+187k samples/s vs XLA's 266k).  Unrolling ``TILE=8`` samples per step gives
+the scheduler 16 independent MXU contractions plus VPU work to overlap and
+amortizes the per-step overhead 8x.  Measured on the v5e chip (B=1024,
+f32-HIGHEST matmuls, same as the XLA path), interleaved A/B over 3x40
+iterations: tiled kernel ~538k samples/s vs XLA separable ~450k (1.13-1.4x
+per round, kernel ahead in every round); max |dev| vs the XLA path 1e-3 on
+HR, 1.2e-4 on LR (reassociated f32 accumulation).  The kernel is therefore
+the default physics path on TPU (``use_pallas_physics`` in
+config/default.py; forced off on CPU where interpret mode is test-only).
+
 The backward pass falls back to the XLA formulation via custom_vjp
 (recompute); training uses whichever path the config selects, and both are
 cross-checked in tests (interpret mode on CPU, compiled on TPU).
-
-Measured on a v5e chip (batch 1024 forward): XLA separable path 266k
-samples/s, this kernel 187k at full-f32 matmul precision (the per-sample
-100x100 matmuls underfill the MXU, whereas XLA fuses the batch into one
-large contraction).  The kernel therefore ships as an opt-in
-(``use_pallas_physics``) -- the separable XLA formulation is already the
-speed-of-light design for this shape -- and as the template for future
-fused physics variants (larger sensors would tip the balance).
 """
 
 from __future__ import annotations
@@ -48,15 +53,13 @@ from ..psf import (
     _physics_single,
 )
 
-__all__ = ["tpsf_physics_fused", "tpsf_physics_pallas_raw"]
+__all__ = ["tpsf_physics_fused", "tpsf_physics_pallas_raw", "TILE"]
+
+TILE = 8  # samples per grid step; amortizes launch/DMA, overlaps 16 matmuls
 
 
-def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
-    alpha = abm_ref[0, 0, 0]
-    beta = abm_ref[0, 0, 1]
-    m = abm_ref[0, 0, 2]
-
-    d = depth_ref[0, :, :].astype(jnp.float32)  # (100, 100)
+def _sample_body(alpha, beta, m, d):
+    """Physics for ONE sample: alpha/beta/m scalars, d (100,100) f32 -> (hr, lr)."""
 
     # banded PSF operator from iotas (no HBM traffic); Mosaic iota is
     # integer-only, cast afterwards
@@ -76,7 +79,6 @@ def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
     mask = d > (jnp.max(d) - DISTURBANCE)
     second = jnp.max(jnp.where(mask, 0.0, hr0))
     hr = jnp.where(mask, second, hr0)
-    hr_ref[0, :, :] = hr
 
     # taxel degradation: U (4,100) from iotas
     x = jax.lax.broadcasted_iota(jnp.int32, (TAXELS, HR_SIZE), 1).astype(jnp.float32)
@@ -93,39 +95,69 @@ def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
         precision=hi,
     )
     mn = jnp.exp(-100.0 / m)
-    lr_ref[0, :, :] = (t2 - mn * jnp.sum(hr)) / (1.0 - mn) * DEGRADE_SCALE
+    lr = (t2 - mn * jnp.sum(hr)) / (1.0 - mn) * DEGRADE_SCALE
+    return hr, lr
 
 
-def tpsf_physics_pallas_raw(depth, abm, interpret: bool | None = None):
-    """Raw fused kernel: depth (B,100,100), abm (B,3) -> (HR, LR_degrade).
+def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
+    # unrolled over the tile: 2*TILE independent MXU contractions for the
+    # scheduler to overlap with the VPU band/mask work of other samples
+    for t in range(abm_ref.shape[0]):
+        alpha = abm_ref[t, 0, 0]  # SMEM: scalar loads only
+        beta = abm_ref[t, 0, 1]
+        m = abm_ref[t, 0, 2]
+        d = depth_ref[t, :, :].astype(jnp.float32)
+        hr, lr = _sample_body(alpha, beta, m, d)
+        hr_ref[t, :, :] = hr
+        lr_ref[t, :, :] = lr
+
+
+def tpsf_physics_pallas_raw(
+    depth, abm, interpret: bool | None = None, tile: int = TILE
+):
+    """Batch-tiled fused kernel: depth (B,100,100), abm (B,3) -> (HR, LR).
 
     ``interpret`` defaults to True off-TPU so tests exercise the same kernel
-    body on the CPU mesh.
+    body on the CPU mesh.  ``tile`` samples run per grid step; the batch is
+    zero-padded up to a tile multiple (a zero depth map is harmless: its
+    outputs are sliced away).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b = depth.shape[0]
+    tile = max(1, min(tile, b))
+    pad = (-b) % tile
+    if pad:
+        depth = jnp.concatenate(
+            [depth, jnp.zeros((pad,) + depth.shape[1:], depth.dtype)]
+        )
+        # beta/m appear in divisions -- pad with ones, not zeros
+        abm = jnp.concatenate([abm, jnp.ones((pad, 3), abm.dtype)])
+    bp = b + pad
     # (B,1,3) so the per-step SMEM block's trailing dims equal the array's
     # (TPU lowering requires trailing block dims divisible by (8,128) or
     # equal to the full array dims)
     abm3 = abm.astype(jnp.float32)[:, None, :]
-    return pl.pallas_call(
+    hr, lr = pl.pallas_call(
         _kernel,
-        grid=(b,),
+        grid=(bp // tile,),
         in_specs=[
-            pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, TAXELS, TAXELS), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, HR_SIZE, HR_SIZE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, TAXELS, TAXELS), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, HR_SIZE, HR_SIZE), jnp.float32),
-            jax.ShapeDtypeStruct((b, TAXELS, TAXELS), jnp.float32),
+            jax.ShapeDtypeStruct((bp, HR_SIZE, HR_SIZE), jnp.float32),
+            jax.ShapeDtypeStruct((bp, TAXELS, TAXELS), jnp.float32),
         ],
         interpret=interpret,
     )(abm3, depth.astype(jnp.float32))
+    if pad:
+        hr, lr = hr[:b], lr[:b]
+    return hr, lr
 
 
 def _xla_reference(depth, abm):

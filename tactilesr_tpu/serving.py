@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .models.inference import fold_inference_params, tactile_sr_infer
 from .models.tactile_sr import TactileSR
 from .runtime.checkpoint import load_checkpoint_file
 
@@ -43,6 +44,7 @@ class SRPredictor:
         force_layers: int = 1,
         compute_dtype: str = "bfloat16",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        fused: bool = True,
     ):
         self.model = TactileSR(
             scale_factor=scale_factor,
@@ -60,11 +62,36 @@ class SRPredictor:
             "batch_stats": jax.device_put(model_state.get("batch_stats", {})),
         }
         self.buckets = tuple(sorted(buckets))
-        self._forward = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False)
-        )
+        self.fused = fused
+        if fused:
+            # one-time host-side graph rewrite: BN fold + conv merge/split
+            # (models/inference.py); exact in f32, rounding-only in bf16
+            self._folded = fold_inference_params(
+                self.variables,
+                seqs_cnt=seqs_cnt,
+                pattern_layers=pattern_layers,
+                force_layers=force_layers,
+                dtype=jnp.dtype(compute_dtype),
+            )
+            infer_kw = dict(
+                scale_factor=scale_factor,
+                seqs_cnt=seqs_cnt,
+                axis_cnt=axis_cnt,
+                pattern_layers=pattern_layers,
+                force_layers=force_layers,
+            )
+            self._forward = lambda _v, x: tactile_sr_infer(
+                self._folded, x, **infer_kw
+            )
+        else:
+            self._forward = jax.jit(
+                lambda v, x: self.model.apply(v, x, train=False)
+            )
         logger.info(
-            "SRPredictor ready: %s (buckets %s)", checkpoint_path, self.buckets
+            "SRPredictor ready: %s (buckets %s, fused=%s)",
+            checkpoint_path,
+            self.buckets,
+            fused,
         )
 
     def warmup(self) -> None:
@@ -132,7 +159,7 @@ def export_stablehlo(
     variables = pred.variables
 
     def fwd(x):
-        return pred.model.apply(variables, x, train=False)
+        return pred._forward(variables, x)
 
     spec = jax.ShapeDtypeStruct((batch, pred.in_channels, 4, 4), jnp.float32)
     exported = jexport.export(jax.jit(fwd))(spec)

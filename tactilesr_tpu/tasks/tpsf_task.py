@@ -37,12 +37,25 @@ __all__ = ["TPSFTrainer", "build_model", "build_eval_fn", "InferenceHookTPSF", "
 logger = logging.getLogger("tactilesr_tpu")
 
 
+def resolve_pallas_physics(config) -> bool:
+    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only (the
+    tiled kernel wins ~1.2x there; interpret mode elsewhere is test-only)."""
+    val = config.get("use_pallas_physics", "auto")
+    if isinstance(val, str):
+        if val.lower() == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return val.lower() in ("1", "true", "yes", "on")
+    return bool(val)
+
+
 def build_model(config) -> TPSFNet:
     return TPSFNet(
         gama=config["gama"],
         perception_scale=config["perception_scale"],
         dtype=jnp.dtype(config.get("compute_dtype", "float32")),
-        use_pallas=bool(config.get("use_pallas_physics", False)),
+        use_pallas=resolve_pallas_physics(config),
     )
 
 

@@ -1,0 +1,110 @@
+"""Parity of the fused serving forward (BN fold + conv merge/split) against
+the training-graph ``TactileSR.apply(train=False)`` it rewrites."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tactilesr_tpu.models.inference import fold_inference_params, tactile_sr_infer
+from tactilesr_tpu.models.tactile_sr import TactileSR
+
+
+def _trained_like_variables(model, key, x, steps: int = 3):
+    """Variables with non-trivial batch_stats (a few train-mode applies)."""
+    variables = model.init(key, x, train=False)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for i in range(steps):
+        kx = jax.random.normal(jax.random.key(100 + i), x.shape) * (2.0 + i)
+        _, upd = model.apply(
+            {"params": params, "batch_stats": stats},
+            kx + 1.0,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        stats = upd["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
+@pytest.mark.parametrize(
+    "seqs_cnt,pattern_layers,force_layers",
+    [(1, 2, 1), (3, 2, 2)],
+)
+def test_fused_matches_training_graph_f32(seqs_cnt, pattern_layers, force_layers):
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=seqs_cnt,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=force_layers,
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).random((4, seqs_cnt * 3, 4, 4)).astype(np.float32) * 4
+    )
+    variables = _trained_like_variables(model, jax.random.key(0), x)
+    ref = model.apply(variables, x, train=False)
+    folded = fold_inference_params(
+        variables,
+        seqs_cnt=seqs_cnt,
+        pattern_layers=pattern_layers,
+        force_layers=force_layers,
+        dtype=jnp.float32,
+    )
+    got = tactile_sr_infer(
+        folded,
+        x,
+        scale_factor=10,
+        seqs_cnt=seqs_cnt,
+        axis_cnt=3,
+        pattern_layers=pattern_layers,
+        force_layers=force_layers,
+    )
+    assert got.shape == ref.shape == (4, 1, 40, 40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bf16_close_to_bf16_training_graph():
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=1,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=6,
+        force_feature_extra_layer_cnt=1,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).random((4, 3, 4, 4)).astype(np.float32) * 4
+    )
+    variables = _trained_like_variables(model, jax.random.key(1), x)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    folded = fold_inference_params(variables, dtype=jnp.bfloat16)
+    got = np.asarray(tactile_sr_infer(folded, x))
+    # both are bf16 graphs; the rewrite only reassociates rounding
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / scale < 0.05, (
+        f"max rel dev {np.abs(got - ref).max() / scale}"
+    )
+
+
+def test_fold_is_pure_and_cacheable():
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=1,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1,
+        force_feature_extra_layer_cnt=1,
+        dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 3, 4, 4))
+    variables = model.init(jax.random.key(0), x, train=False)
+    f1 = fold_inference_params(variables, pattern_layers=1, dtype=jnp.float32)
+    f2 = fold_inference_params(variables, pattern_layers=1, dtype=jnp.float32)
+    assert set(f1) == set(f2)
+    for k in f1:
+        np.testing.assert_array_equal(np.asarray(f1[k]), np.asarray(f2[k]))
+    # merged stage-1 kernel has the 3x3 path zero-embedded at the border
+    k = np.asarray(f1["msrb_0/stage1/k"])
+    assert k.shape == (5, 5, 64, 128)
+    assert np.all(k[0, :, :, :64] == 0) and np.all(k[:, 0, :, :64] == 0)

@@ -51,3 +51,24 @@ def test_fused_jits(rng):
     hr, lr = f(depth, abm)
     assert hr.shape == (2, 100, 100) and lr.shape == (2, 4, 4)
     assert np.all(np.isfinite(np.asarray(hr)))
+
+
+def test_tile_padding_roundtrip(rng):
+    """Batch not divisible by the tile: padded samples must not leak."""
+    depth, abm = _inputs(rng, b=5)
+    hr_t, lr_t = tpsf_physics_pallas_raw(depth, abm, interpret=True, tile=2)
+    hr_1, lr_1 = tpsf_physics_pallas_raw(depth, abm, interpret=True, tile=1)
+    assert hr_t.shape == (5, 100, 100) and lr_t.shape == (5, 4, 4)
+    np.testing.assert_allclose(np.asarray(hr_t), np.asarray(hr_1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lr_t), np.asarray(lr_1), rtol=1e-5, atol=1e-7)
+
+
+def test_use_pallas_physics_auto_resolution():
+    from tactilesr_tpu.tasks.tpsf_task import resolve_pallas_physics
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_pallas_physics({"use_pallas_physics": "auto"}) == on_tpu
+    assert resolve_pallas_physics({}) == on_tpu  # default is auto
+    assert resolve_pallas_physics({"use_pallas_physics": True}) is True
+    assert resolve_pallas_physics({"use_pallas_physics": False}) is False
+    assert resolve_pallas_physics({"use_pallas_physics": "false"}) is False
