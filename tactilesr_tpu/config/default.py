@@ -100,6 +100,10 @@ tactileSR_config = {
     "axisCnt": 3,
     "patternFeatureExtraLayerCnt": 6,
     "forceFeatureExtraLayerCnt": 1,
+    # "TactileSR" (ToH-2024, default) or "TactileSRCNN" (IROS-2022 baseline,
+    # single-frame); additive over the reference, which keeps the CNN class
+    # in its model file with no recipe wiring (model/tactileSR_model.py:101)
+    "model_arch": "TactileSR",
     "inference_test": True,
     "save_dir": os.path.join(root_path, "pth/tactileSR_single"),
     "train_dataset_dir": os.path.join(root_path, "data/SRdataset/SRdataset_train.npz"),

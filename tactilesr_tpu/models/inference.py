@@ -40,7 +40,12 @@ import numpy as np
 
 from ..ops.resize import resize_bilinear, upsample_bilinear
 
-__all__ = ["fold_inference_params", "tactile_sr_infer"]
+__all__ = [
+    "fold_inference_params",
+    "fold_inference_params_cnn",
+    "tactile_sr_infer",
+    "tactile_sr_cnn_infer",
+]
 
 _EPS = 1e-5  # torch BatchNorm2d default, matches models/layers.py
 
@@ -73,6 +78,48 @@ def _embed_3_in_5(k3: np.ndarray) -> np.ndarray:
     out = np.zeros((5, 5, cin, cout), np.float32)
     out[1:4, 1:4] = k3
     return out
+
+
+def _fold_msrb(blk: dict, bst: dict, pre: str, out: dict) -> None:
+    """Fold one MSRB block into the fused layout under key prefix ``pre``."""
+
+    def fold(name):
+        return _fold_bn(
+            blk[name]["conv"]["kernel"],
+            blk[name]["conv"].get("bias"),
+            blk[f"{name}_bn"],
+            bst[f"{name}_bn"],
+        )
+
+    # parallel 3x3/5x5 over x -> one 5x5 conv 64->128 (output IS `mid`)
+    k3, b3 = fold("conv_3_1")
+    k5, b5 = fold("conv_5_1")
+    out[f"{pre}/stage1/k"] = np.concatenate([_embed_3_in_5(k3), k5], axis=-1)
+    out[f"{pre}/stage1/b"] = np.concatenate([b3, b5])
+
+    # second pair stays as two convs over `mid` (merging would add 47%
+    # FLOPs to the dominant 128-ch convs); BN folded
+    k32, b32 = fold("conv_3_2")
+    k52, b52 = fold("conv_5_2")
+    out[f"{pre}/conv32/k"] = k32
+    out[f"{pre}/conv32/b"] = b32
+    out[f"{pre}/conv52/k"] = k52
+    out[f"{pre}/conv52/b"] = b52
+
+    # confusion 1x1 reads concat(out32, out52): split input channels
+    ck = _np(blk["confusion"]["conv"]["kernel"])
+    out[f"{pre}/conf/k32"] = ck[:, :, :128, :]
+    out[f"{pre}/conf/k52"] = ck[:, :, 128:, :]
+    out[f"{pre}/conf/b"] = _np(blk["confusion"]["conv"]["bias"])
+
+
+def _cast_folded(out: dict, dtype) -> dict:
+    """Kernels to the compute dtype; biases stay f32 (they ride epilogues)."""
+    dt = jnp.dtype(dtype)
+    return {
+        k: jnp.asarray(v, dt if k.rsplit("/", 1)[-1].startswith("k") else jnp.float32)
+        for k, v in out.items()
+    }
 
 
 def fold_inference_params(
@@ -118,38 +165,12 @@ def fold_inference_params(
     out["inputContact/b"] = icb
 
     for i in range(pattern_layers):
-        blk = params[f"patternFeatureExtra_layer_{i}"]
-        bst = stats[f"patternFeatureExtra_layer_{i}"]
-        pre = f"msrb_{i}"
-
-        def fold(name):
-            return _fold_bn(
-                blk[name]["conv"]["kernel"],
-                blk[name]["conv"].get("bias"),
-                blk[f"{name}_bn"],
-                bst[f"{name}_bn"],
-            )
-
-        # parallel 3x3/5x5 over x -> one 5x5 conv 64->128 (output IS `mid`)
-        k3, b3 = fold("conv_3_1")
-        k5, b5 = fold("conv_5_1")
-        out[f"{pre}/stage1/k"] = np.concatenate([_embed_3_in_5(k3), k5], axis=-1)
-        out[f"{pre}/stage1/b"] = np.concatenate([b3, b5])
-
-        # second pair stays as two convs over `mid` (merging would add 47%
-        # FLOPs to the dominant 128-ch convs); BN folded
-        k32, b32 = fold("conv_3_2")
-        k52, b52 = fold("conv_5_2")
-        out[f"{pre}/conv32/k"] = k32
-        out[f"{pre}/conv32/b"] = b32
-        out[f"{pre}/conv52/k"] = k52
-        out[f"{pre}/conv52/b"] = b52
-
-        # confusion 1x1 reads concat(out32, out52): split input channels
-        ck = _np(blk["confusion"]["conv"]["kernel"])
-        out[f"{pre}/conf/k32"] = ck[:, :, :128, :]
-        out[f"{pre}/conf/k52"] = ck[:, :, 128:, :]
-        out[f"{pre}/conf/b"] = _np(blk["confusion"]["conv"]["bias"])
+        _fold_msrb(
+            params[f"patternFeatureExtra_layer_{i}"],
+            stats[f"patternFeatureExtra_layer_{i}"],
+            f"msrb_{i}",
+            out,
+        )
 
     out["force_in/k"] = _np(params["input_layer_force"]["conv"]["kernel"])
     for i in range(force_layers):
@@ -165,11 +186,53 @@ def fold_inference_params(
     out["head0/kp"] = hk[:, :, 64:, :]
     out["head1/k"] = _np(params["output_conv1"]["conv"]["kernel"])
 
-    dt = jnp.dtype(dtype)
-    return {
-        k: jnp.asarray(v, dt if k.rsplit("/", 1)[-1].startswith("k") else jnp.float32)
-        for k, v in out.items()
-    }
+    return _cast_folded(out, dtype)
+
+
+def fold_inference_params_cnn(
+    variables: dict,
+    *,
+    msrb_cnt: int = 6,
+    dtype: Any = jnp.bfloat16,
+) -> dict:
+    """Fused serving layout for ``TactileSRCNN`` (models/tactile_sr.py:101-121):
+    BN folded into the three input convs, every MSRB merged/split as in
+    :func:`fold_inference_params`."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: dict[str, np.ndarray] = {}
+
+    for i in range(3):
+        k, b = _fold_bn(
+            params[f"input_zyx_conv{i}"]["conv"]["kernel"],
+            params[f"input_zyx_conv{i}"]["conv"].get("bias"),
+            params[f"input_zyx_bn{i}"],
+            stats[f"input_zyx_bn{i}"],
+        )
+        out[f"in{i}/k"] = k
+        out[f"in{i}/b"] = b
+
+    for i in range(msrb_cnt):
+        _fold_msrb(
+            params[f"msrb_layer_{i}"], stats[f"msrb_layer_{i}"], f"msrb_{i}", out
+        )
+
+    out["head/k"] = _np(params["output_conv"]["conv"]["kernel"])
+    return _cast_folded(out, dtype)
+
+
+def _msrb_infer(folded: dict, pre: str, x):
+    """One fused MSRB block: merged stage-1 conv, split confusion."""
+    relu = jax.nn.relu
+    mid = relu(_conv(x, folded[f"{pre}/stage1/k"], folded[f"{pre}/stage1/b"], pad=2))
+    o32 = relu(_conv(mid, folded[f"{pre}/conv32/k"], folded[f"{pre}/conv32/b"], pad=1))
+    o52 = relu(_conv(mid, folded[f"{pre}/conv52/k"], folded[f"{pre}/conv52/b"], pad=2))
+    conf = (
+        _conv(o32, folded[f"{pre}/conf/k32"], pad=0)
+        + _conv(o52, folded[f"{pre}/conf/k52"], pad=0)
+        + folded[f"{pre}/conf/b"].astype(o32.dtype)
+    )
+    return relu(conf + x)
 
 
 def _conv(x, kernel, bias=None, *, pad: int):
@@ -230,19 +293,7 @@ def tactile_sr_infer(
 
     # MSRB trunk (merged stage-1, split confusion)
     for i in range(pattern_layers):
-        pre = f"msrb_{i}"
-        mid = relu(_conv(pattern, folded[f"{pre}/stage1/k"],
-                         folded[f"{pre}/stage1/b"], pad=2))
-        o32 = relu(_conv(mid, folded[f"{pre}/conv32/k"],
-                         folded[f"{pre}/conv32/b"], pad=1))
-        o52 = relu(_conv(mid, folded[f"{pre}/conv52/k"],
-                         folded[f"{pre}/conv52/b"], pad=2))
-        conf = (
-            _conv(o32, folded[f"{pre}/conf/k32"], pad=0)
-            + _conv(o52, folded[f"{pre}/conf/k52"], pad=0)
-            + folded[f"{pre}/conf/b"].astype(o32.dtype)
-        )
-        pattern = relu(conf + pattern)
+        pattern = _msrb_infer(folded, f"msrb_{i}", pattern)
 
     # force branch
     force = upsample_bilinear(x[..., :axis_cnt], scale_factor).astype(dt)
@@ -261,3 +312,26 @@ def tactile_sr_infer(
     hw = 4 * scale_factor
     out = resize_bilinear(out, (hw, hw))
     return jnp.transpose(out, (0, 3, 1, 2)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "msrb_cnt"))
+def tactile_sr_cnn_infer(
+    folded: dict,
+    x: jnp.ndarray,
+    *,
+    scale_factor: int = 10,
+    msrb_cnt: int = 6,
+) -> jnp.ndarray:
+    """Fused serving forward for ``TactileSRCNN``: (B, 3, 4, 4) f32 ->
+    (B, 1, 4s, 4s) f32.  Semantics match
+    ``TactileSRCNN.apply(..., train=False)`` (models/tactile_sr.py:108-121)."""
+    dt = folded["head/k"].dtype
+    relu = jax.nn.relu
+    x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC, f32
+    h = upsample_bilinear(x, scale_factor).astype(dt)
+    for i in range(3):
+        h = relu(_conv(h, folded[f"in{i}/k"], folded[f"in{i}/b"], pad=1))
+    for i in range(msrb_cnt):
+        h = _msrb_infer(folded, f"msrb_{i}", h)
+    h = relu(_conv(h, folded["head/k"], pad=1))
+    return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)

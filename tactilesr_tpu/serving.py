@@ -20,8 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.inference import fold_inference_params, tactile_sr_infer
-from .models.tactile_sr import TactileSR
+from .models.inference import (
+    fold_inference_params,
+    fold_inference_params_cnn,
+    tactile_sr_cnn_infer,
+    tactile_sr_infer,
+)
+from .models.tactile_sr import TactileSR, TactileSRCNN
+from .parallel.mesh import resolve_mesh
 from .runtime.checkpoint import load_checkpoint_file
 
 __all__ = ["SRPredictor"]
@@ -32,7 +38,12 @@ DEFAULT_BUCKETS = (1, 8, 64, 256, 1024)
 
 
 class SRPredictor:
-    """Compiled TactileSR inference with batch bucketing."""
+    """Compiled SR inference with batch bucketing.
+
+    ``model_arch`` mirrors the training config knob (tasks/sr_task.py
+    ``build_model``): "TactileSR" (default, STSR/MTSR) or "TactileSRCNN"
+    (the IROS-2022 single-frame baseline).
+    """
 
     def __init__(
         self,
@@ -45,15 +56,26 @@ class SRPredictor:
         compute_dtype: str = "bfloat16",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         fused: bool = True,
+        model_arch: str = "TactileSR",
+        mesh=None,
     ):
-        self.model = TactileSR(
-            scale_factor=scale_factor,
-            seqs_cnt=seqs_cnt,
-            axis_cnt=axis_cnt,
-            pattern_feature_extra_layer_cnt=pattern_layers,
-            force_feature_extra_layer_cnt=force_layers,
-            dtype=jnp.dtype(compute_dtype),
-        )
+        if model_arch not in ("TactileSR", "TactileSRCNN"):
+            raise ValueError(f"unknown model_arch {model_arch!r}")
+        self.model_arch = model_arch
+        if model_arch == "TactileSRCNN":
+            assert seqs_cnt == 1, "TactileSRCNN is single-frame"
+            self.model = TactileSRCNN(
+                scale_factor=scale_factor, dtype=jnp.dtype(compute_dtype)
+            )
+        else:
+            self.model = TactileSR(
+                scale_factor=scale_factor,
+                seqs_cnt=seqs_cnt,
+                axis_cnt=axis_cnt,
+                pattern_feature_extra_layer_cnt=pattern_layers,
+                force_feature_extra_layer_cnt=force_layers,
+                dtype=jnp.dtype(compute_dtype),
+            )
         self.in_channels = seqs_cnt * axis_cnt
         bundle = load_checkpoint_file(checkpoint_path)
         model_state = bundle["model"]
@@ -61,43 +83,85 @@ class SRPredictor:
             "params": jax.device_put(model_state["params"]),
             "batch_stats": jax.device_put(model_state.get("batch_stats", {})),
         }
+        # data-parallel serving: batches shard over the mesh's data axis,
+        # weights replicate; XLA compiles the per-device program, results
+        # gather on fetch.  Buckets round up to data-axis multiples so every
+        # device gets an equal shard (predict() already pads to the bucket).
+        self.mesh = mesh
+        self._in_sharding = None
+        if mesh is not None:
+            from .parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
+
+            ndata = mesh.shape[DATA_AXIS]
+            adj = tuple(sorted({-(-b // ndata) * ndata for b in buckets}))
+            if adj != tuple(sorted(buckets)):
+                logger.info(
+                    "buckets %s rounded to data-axis multiples: %s",
+                    tuple(sorted(buckets)),
+                    adj,
+                )
+            buckets = adj
+            self._in_sharding = batch_sharding(mesh)
+            rep = replicated_sharding(mesh)
+            self.variables = jax.device_put(self.variables, rep)
         self.buckets = tuple(sorted(buckets))
         self.fused = fused
         if fused:
             # one-time host-side graph rewrite: BN fold + conv merge/split
             # (models/inference.py); exact in f32, rounding-only in bf16
-            self._folded = fold_inference_params(
-                self.variables,
-                seqs_cnt=seqs_cnt,
-                pattern_layers=pattern_layers,
-                force_layers=force_layers,
-                dtype=jnp.dtype(compute_dtype),
-            )
-            infer_kw = dict(
-                scale_factor=scale_factor,
-                seqs_cnt=seqs_cnt,
-                axis_cnt=axis_cnt,
-                pattern_layers=pattern_layers,
-                force_layers=force_layers,
-            )
-            self._forward = lambda _v, x: tactile_sr_infer(
-                self._folded, x, **infer_kw
-            )
+            if model_arch == "TactileSRCNN":
+                self._folded = fold_inference_params_cnn(
+                    self.variables, dtype=jnp.dtype(compute_dtype)
+                )
+                self._forward = lambda _v, x: tactile_sr_cnn_infer(
+                    self._folded, x, scale_factor=scale_factor
+                )
+            else:
+                self._folded = fold_inference_params(
+                    self.variables,
+                    seqs_cnt=seqs_cnt,
+                    pattern_layers=pattern_layers,
+                    force_layers=force_layers,
+                    dtype=jnp.dtype(compute_dtype),
+                )
+                infer_kw = dict(
+                    scale_factor=scale_factor,
+                    seqs_cnt=seqs_cnt,
+                    axis_cnt=axis_cnt,
+                    pattern_layers=pattern_layers,
+                    force_layers=force_layers,
+                )
+                self._forward = lambda _v, x: tactile_sr_infer(
+                    self._folded, x, **infer_kw
+                )
+            if mesh is not None:
+                from .parallel.mesh import replicated_sharding
+
+                self._folded = jax.device_put(
+                    self._folded, replicated_sharding(mesh)
+                )
         else:
             self._forward = jax.jit(
                 lambda v, x: self.model.apply(v, x, train=False)
             )
         logger.info(
-            "SRPredictor ready: %s (buckets %s, fused=%s)",
+            "SRPredictor ready: %s (%s, buckets %s, fused=%s)",
             checkpoint_path,
+            model_arch,
             self.buckets,
             fused,
         )
 
+    def _place(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shard the batch over the mesh's data axis (no-op single-device)."""
+        if self._in_sharding is None:
+            return x
+        return jax.device_put(x, self._in_sharding)
+
     def warmup(self) -> None:
         """Compile every bucket up front (first query stays fast)."""
         for b in self.buckets:
-            x = jnp.zeros((b, self.in_channels, 4, 4), jnp.float32)
+            x = self._place(jnp.zeros((b, self.in_channels, 4, 4), jnp.float32))
             out = self._forward(self.variables, x)
         float(jnp.asarray(out.ravel()[0]))  # reliable sync on tunneled TPUs
 
@@ -124,7 +188,7 @@ class SRPredictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
                 )
-            out = self._forward(self.variables, jnp.asarray(chunk))
+            out = self._forward(self.variables, self._place(jnp.asarray(chunk)))
             outs.append(np.asarray(out)[: b - pad])
             i += b - pad
         return np.concatenate(outs)
@@ -193,6 +257,23 @@ def _cli():
     p.add_argument("--force-layers", type=int, default=1)
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument(
+        "--model-arch",
+        default="TactileSR",
+        choices=("TactileSR", "TactileSRCNN"),
+        help="same knob as the training config's model_arch",
+    )
+    p.add_argument(
+        "--no-fused",
+        action="store_true",
+        help="serve through the training graph instead of the fused rewrite",
+    )
+    p.add_argument(
+        "--data-parallel",
+        default="off",
+        help="shard serving batches over local devices: off|auto|N "
+        "(same knob as the training configs)",
+    )
+    p.add_argument(
         "--evaluate",
         action="store_true",
         help="if the input .npz has an 'HR' array, report PSNR/SSIM vs it",
@@ -211,6 +292,9 @@ def _cli():
         pattern_layers=args.pattern_layers,
         force_layers=args.force_layers,
         compute_dtype=args.compute_dtype,
+        fused=not args.no_fused,
+        model_arch=args.model_arch,
+        mesh=resolve_mesh(args.data_parallel),
     )
     pred.warmup()
     t0 = time.perf_counter()

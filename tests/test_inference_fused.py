@@ -88,6 +88,57 @@ def test_fused_bf16_close_to_bf16_training_graph():
     )
 
 
+def test_cnn_fused_matches_training_graph_f32():
+    from tactilesr_tpu.models.inference import (
+        fold_inference_params_cnn,
+        tactile_sr_cnn_infer,
+    )
+    from tactilesr_tpu.models.tactile_sr import TactileSRCNN
+
+    model = TactileSRCNN(scale_factor=4, msrb_cnt=2, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(2).random((3, 3, 4, 4)).astype(np.float32) * 4
+    )
+    variables = _trained_like_variables(model, jax.random.key(2), x)
+    ref = model.apply(variables, x, train=False)
+    folded = fold_inference_params_cnn(variables, msrb_cnt=2, dtype=jnp.float32)
+    got = tactile_sr_cnn_infer(folded, x, scale_factor=4, msrb_cnt=2)
+    assert got.shape == ref.shape == (3, 1, 16, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_cnn_arch(tmp_path):
+    from tactilesr_tpu.models.tactile_sr import TactileSRCNN
+    from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+    from tactilesr_tpu.serving import SRPredictor
+
+    model = TactileSRCNN(scale_factor=4, msrb_cnt=6, dtype=jnp.float32)
+    v = jax.device_get(
+        model.init(jax.random.key(3), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    path = str(tmp_path / "cnn.ckpt")
+    save_checkpoint_file(
+        path,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    pred = SRPredictor(
+        path, scale_factor=4, compute_dtype="float32",
+        buckets=(4,), model_arch="TactileSRCNN",
+    )
+    pred_ref = SRPredictor(
+        path, scale_factor=4, compute_dtype="float32",
+        buckets=(4,), model_arch="TactileSRCNN", fused=False,
+    )
+    x = (np.random.default_rng(4).random((4, 3, 4, 4)) * 4).astype(np.float32)
+    np.testing.assert_allclose(
+        pred.predict(x), pred_ref.predict(x), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_fold_is_pure_and_cacheable():
     model = TactileSR(
         scale_factor=10,

@@ -60,6 +60,28 @@ def test_predict_more_than_max_bucket(tmp_path, rng):
     assert out.shape == (9, 1, 16, 16)
 
 
+def test_mesh_sharded_serving_matches_single_device(tmp_path, rng):
+    """Data-parallel serving over the 8-device CPU mesh: identical outputs,
+    buckets rounded up to data-axis multiples."""
+    from tactilesr_tpu.parallel.mesh import make_mesh
+
+    ckpt = _make_ckpt(tmp_path)
+    mesh = make_mesh(jax.devices())
+    kw = dict(
+        scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32",
+    )
+    pred_mesh = SRPredictor(ckpt, buckets=(4, 16), mesh=mesh, **kw)
+    pred_one = SRPredictor(ckpt, buckets=(4, 16), **kw)
+    # bucket 4 < 8 devices -> rounded to 8
+    assert pred_mesh.buckets == (8, 16)
+    pred_mesh.warmup()
+    lr = (rng.random((13, 3, 4, 4)) * 4).astype(np.float32)
+    np.testing.assert_allclose(
+        pred_mesh.predict(lr), pred_one.predict(lr), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_stablehlo_export_roundtrip(tmp_path, rng):
     from jax import export as jexport
 
