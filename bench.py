@@ -114,6 +114,65 @@ def bench_train():
     )
 
 
+def bench_tpsf():
+    """Physics-path benchmark: fused batch-tiled Pallas kernel vs the XLA
+    separable formulation at B=1024 (the tPSFNet hot op), interleaved A/B.
+    ``vs_baseline`` = pallas / xla (>1 means the kernel wins)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.ops.pallas.tpsf_kernel import tpsf_physics_pallas_raw
+    from tactilesr_tpu.ops.psf import _physics_single
+
+    wait_for_quiet(jnp, jax)
+    B = 1024
+    rng = np.random.default_rng(0)
+    depth = jax.device_put((rng.random((B, 100, 100)) * 3).astype(np.float32))
+    abm = jax.device_put(
+        np.stack(
+            [
+                rng.random(B).astype(np.float32) * 2 + 0.5,
+                rng.random(B).astype(np.float32) * 3 + 1.0,
+                rng.random(B).astype(np.float32) * 4 + 1.0,
+            ],
+            axis=1,
+        )
+    )
+    xla = jax.jit(lambda d, a: _physics_single(d, a))
+    pal = jax.jit(lambda d, a: tpsf_physics_pallas_raw(d, a))
+
+    def sync(o):
+        float(jnp.asarray(o[0].reshape(-1)[0]))
+
+    sync(xla(depth, abm))
+    sync(pal(depth, abm))
+    rates = {"xla": [], "pallas": []}
+    for _ in range(3):  # interleaved rounds to ride out tunnel noise
+        for name, f in (("xla", xla), ("pallas", pal)):
+            t0 = time.perf_counter()
+            for _ in range(40):
+                out = f(depth, abm)
+            sync(out)
+            rates[name].append(B * 40 / (time.perf_counter() - t0))
+    x_med = float(np.median(rates["xla"]))
+    p_med = float(np.median(rates["pallas"]))
+    log(f"xla median: {x_med:,.0f} samples/s  pallas median: {p_med:,.0f}")
+    print(
+        json.dumps(
+            {
+                "metric": "tpsf_physics_throughput",
+                "value": round(p_med, 1),
+                "unit": "samples/sec",
+                "vs_baseline": round(p_med / x_med, 3),
+                "extras": {
+                    "xla_separable": round(x_med, 1),
+                    "note": "vs_baseline is pallas/xla on the same chip",
+                },
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -210,5 +269,7 @@ def main():
 if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
+    elif "--tpsf" in sys.argv:
+        bench_tpsf()
     else:
         main()
