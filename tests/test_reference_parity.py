@@ -301,3 +301,52 @@ def test_two_epoch_training_and_eval_parity(rng):
     ssim_ours = float(np.mean(np.asarray(batched_ssim(jnp.asarray(out_ours[:, 0]), jnp.asarray(te_hr[:, 0])))))
     assert abs(psnr_ours - psnr_ref) < 0.1, (psnr_ours, psnr_ref)  # the 0.1 dB bar
     assert abs(ssim_ours - ssim_ref) < 0.01, (ssim_ours, ssim_ref)
+
+
+def test_fused_serving_matches_reference_torch(rng):
+    """End-to-end of the serving rewrite chain: reference torch weights ->
+    torch_convert -> BN-fold + conv merge/split (models/inference.py) ->
+    fused forward must still match the ORIGINAL torch implementation."""
+    from tactilesr_tpu.models.inference import (
+        fold_inference_params,
+        fold_inference_params_cnn,
+        tactile_sr_cnn_infer,
+        tactile_sr_infer,
+    )
+
+    torch.manual_seed(3)
+    x = rng.standard_normal((2, 3, 4, 4)).astype(np.float32) * 2
+
+    ref = RefTactileSR(
+        scale_factor=10, seqsCnt=1, axisCnt=3,
+        patternFeatureExtraLayerCnt=2, forceFeatureExtraLayerCnt=1,
+    )
+    ref.eval()
+    variables = convert_tactile_sr(
+        ref.state_dict(), seqs_cnt=1, pattern_layers=2, force_layers=1
+    )
+    folded = fold_inference_params(
+        variables, seqs_cnt=1, pattern_layers=2, force_layers=1,
+        dtype=jnp.float32,
+    )
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        tactile_sr_infer(
+            folded, jnp.asarray(x), scale_factor=10, seqs_cnt=1, axis_cnt=3,
+            pattern_layers=2, force_layers=1,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    torch.manual_seed(4)
+    ref_cnn = RefTactileSRCNN()
+    ref_cnn.eval()
+    v_cnn = convert_tactile_srcnn(ref_cnn.state_dict(), msrb_cnt=6)
+    folded_cnn = fold_inference_params_cnn(v_cnn, msrb_cnt=6, dtype=jnp.float32)
+    with torch.no_grad():
+        want_cnn = ref_cnn(torch.from_numpy(x)).numpy()
+    got_cnn = np.asarray(
+        tactile_sr_cnn_infer(folded_cnn, jnp.asarray(x), scale_factor=10, msrb_cnt=6)
+    )
+    np.testing.assert_allclose(got_cnn, want_cnn, rtol=1e-3, atol=1e-4)
