@@ -33,6 +33,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch_size",
     "resolve_mesh",
+    "resolve_mesh_from_config",
 ]
 
 logger = logging.getLogger("tactilesr_tpu")
@@ -92,7 +93,9 @@ def resolve_mesh(
     """
     if devices is None:
         devices = jax.devices()
-    if spec in (None, False, "off", "0", "1", 0, 1):
+    if spec is True:  # bool before the off-tuple: True == 1 would match it
+        spec = "auto"
+    if spec is False or spec in (None, "off", "0", "1", 0, 1):
         return None
     n = len(devices)
     if spec == "auto":
@@ -122,3 +125,19 @@ def resolve_mesh(
     if ndata == 1:
         return None
     return make_mesh(devices[:ndata])
+
+
+def resolve_mesh_from_config(config) -> Optional[Mesh]:
+    """Mesh from a task config's ``data_parallel`` + ``train_batch_size``
+    keys, with the standard announcement log -- shared by both task mains."""
+    mesh = resolve_mesh(
+        config.get("data_parallel", "auto"),
+        batch_size=config["train_batch_size"],
+    )
+    if mesh is not None:
+        logger.info(
+            "Data parallelism: %d-device mesh %s",
+            mesh.devices.size,
+            dict(mesh.shape),
+        )
+    return mesh

@@ -79,9 +79,12 @@ class SRPredictor:
         self.in_channels = seqs_cnt * axis_cnt
         bundle = load_checkpoint_file(checkpoint_path)
         model_state = bundle["model"]
+        # host-side view of the training-graph weights; the fused path only
+        # reads them once during folding, so they go device-resident only
+        # when serving the literal training graph (fused=False)
         self.variables = {
-            "params": jax.device_put(model_state["params"]),
-            "batch_stats": jax.device_put(model_state.get("batch_stats", {})),
+            "params": model_state["params"],
+            "batch_stats": model_state.get("batch_stats", {}),
         }
         # data-parallel serving: batches shard over the mesh's data axis,
         # weights replicate; XLA compiles the per-device program, results
@@ -89,6 +92,7 @@ class SRPredictor:
         # device gets an equal shard (predict() already pads to the bucket).
         self.mesh = mesh
         self._in_sharding = None
+        rep = None
         if mesh is not None:
             from .parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
 
@@ -103,9 +107,14 @@ class SRPredictor:
             buckets = adj
             self._in_sharding = batch_sharding(mesh)
             rep = replicated_sharding(mesh)
-            self.variables = jax.device_put(self.variables, rep)
         self.buckets = tuple(sorted(buckets))
         self.fused = fused
+        if not fused:
+            self.variables = (
+                jax.device_put(self.variables, rep)
+                if rep is not None
+                else jax.device_put(self.variables)
+            )
         if fused:
             # one-time host-side graph rewrite: BN fold + conv merge/split
             # (models/inference.py); exact in f32, rounding-only in bf16
@@ -134,12 +143,11 @@ class SRPredictor:
                 self._forward = lambda _v, x: tactile_sr_infer(
                     self._folded, x, **infer_kw
                 )
-            if mesh is not None:
-                from .parallel.mesh import replicated_sharding
-
-                self._folded = jax.device_put(
-                    self._folded, replicated_sharding(mesh)
-                )
+            self._folded = (
+                jax.device_put(self._folded, rep)
+                if rep is not None
+                else jax.device_put(self._folded)
+            )
         else:
             self._forward = jax.jit(
                 lambda v, x: self.model.apply(v, x, train=False)
@@ -203,11 +211,17 @@ def export_stablehlo(
     pattern_layers: int = 6,
     force_layers: int = 1,
     compute_dtype: str = "bfloat16",
+    fused: bool = True,
+    model_arch: str = "TactileSR",
 ) -> str:
     """Serialize the SR forward (weights baked in) as a portable StableHLO
     artifact via ``jax.export`` -- loadable by any jax process
     (``jax.export.deserialize(...).call(x)``) or downstream StableHLO
-    consumers, with no dependency on this package at serving time."""
+    consumers, with no dependency on this package at serving time.
+
+    ``fused``/``model_arch`` select the same graph the predictor would
+    serve (fused rewrite by default; ``fused=False`` exports the literal
+    training graph for parity-sensitive consumers)."""
     import jax
     from jax import export as jexport
 
@@ -219,6 +233,8 @@ def export_stablehlo(
         force_layers=force_layers,
         compute_dtype=compute_dtype,
         buckets=(batch,),
+        fused=fused,
+        model_arch=model_arch,
     )
     variables = pred.variables
 

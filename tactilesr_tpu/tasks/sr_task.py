@@ -295,18 +295,9 @@ def main(
     set_random_seed(config["random_seed"], config["deterministic"])
 
     if mesh is None:
-        from ..parallel.mesh import resolve_mesh
+        from ..parallel.mesh import resolve_mesh_from_config
 
-        mesh = resolve_mesh(
-            config.get("data_parallel", "auto"),
-            batch_size=config["train_batch_size"],
-        )
-        if mesh is not None:
-            logger.info(
-                "Data parallelism: %d-device mesh %s",
-                mesh.devices.size,
-                dict(mesh.shape),
-            )
+        mesh = resolve_mesh_from_config(config)
 
     ds_cls = TactileSRDatasetSeq if seqs else TactileSRDataset
     train_ds = ds_cls(config["train_dataset_dir"])

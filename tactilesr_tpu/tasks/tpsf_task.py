@@ -37,25 +37,44 @@ __all__ = ["TPSFTrainer", "build_model", "build_eval_fn", "InferenceHookTPSF", "
 logger = logging.getLogger("tactilesr_tpu")
 
 
-def resolve_pallas_physics(config) -> bool:
-    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only (the
-    tiled kernel wins ~1.2x there; interpret mode elsewhere is test-only)."""
+def resolve_pallas_physics(config, mesh=None) -> bool:
+    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only AND
+    single-device (the tiled kernel wins ~1.2x on one chip; interpret mode
+    elsewhere is test-only).
+
+    Under a device mesh the kernel is forced off in auto mode:
+    ``pallas_call`` is not SPMD-partitionable, so GSPMD would all-gather the
+    sharded depth batch and run the physics replicated on every device --
+    N-times redundant compute that negates data parallelism on exactly this
+    op.  An explicit ``true`` still wins, with a warning.
+    """
     val = config.get("use_pallas_physics", "auto")
-    if isinstance(val, str):
-        if val.lower() == "auto":
-            import jax
+    if isinstance(val, str) and val.lower() == "auto":
+        import jax
 
-            return jax.default_backend() == "tpu"
-        return val.lower() in ("1", "true", "yes", "on")
-    return bool(val)
+        return jax.default_backend() == "tpu" and mesh is None
+    on = (
+        val.lower() in ("1", "true", "yes", "on")
+        if isinstance(val, str)
+        else bool(val)
+    )
+    if on and mesh is not None:
+        logger.warning(
+            "use_pallas_physics=true under a %d-device mesh: pallas_call is "
+            "not SPMD-partitionable, so the physics will run replicated on "
+            "every device (redundant compute). Prefer use_pallas_physics="
+            "auto, which disables the kernel when a mesh is active.",
+            mesh.devices.size,
+        )
+    return on
 
 
-def build_model(config) -> TPSFNet:
+def build_model(config, mesh=None) -> TPSFNet:
     return TPSFNet(
         gama=config["gama"],
         perception_scale=config["perception_scale"],
         dtype=jnp.dtype(config.get("compute_dtype", "float32")),
-        use_pallas=resolve_pallas_physics(config),
+        use_pallas=resolve_pallas_physics(config, mesh),
     )
 
 
@@ -184,18 +203,9 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
     set_random_seed(config["random_seed"], config["deterministic"])
 
     if mesh is None:
-        from ..parallel.mesh import resolve_mesh
+        from ..parallel.mesh import resolve_mesh_from_config
 
-        mesh = resolve_mesh(
-            config.get("data_parallel", "auto"),
-            batch_size=config["train_batch_size"],
-        )
-        if mesh is not None:
-            logger.info(
-                "Data parallelism: %d-device mesh %s",
-                mesh.devices.size,
-                dict(mesh.shape),
-            )
+        mesh = resolve_mesh_from_config(config)
 
     train_ds = TPSFNetDataset(
         config["dataset_dir"],
@@ -214,7 +224,7 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
     lr_train, depth_train = train_ds.stacked()
     lr_test, depth_test = test_ds.stacked()
 
-    model = build_model(config)
+    model = build_model(config, mesh)
     rng = jax.random.key(config["random_seed"])
     variables = jax.device_get(
         model.init(

@@ -139,6 +139,40 @@ def test_predictor_cnn_arch(tmp_path):
     )
 
 
+def test_stablehlo_export_cnn_arch(tmp_path):
+    """Regression: export_stablehlo must honor model_arch (a CNN checkpoint
+    used to crash the default TactileSR fold with a KeyError)."""
+    from jax import export as jexport
+
+    from tactilesr_tpu.models.tactile_sr import TactileSRCNN
+    from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+    from tactilesr_tpu.serving import export_stablehlo
+
+    model = TactileSRCNN(scale_factor=4, msrb_cnt=6, dtype=jnp.float32)
+    v = jax.device_get(
+        model.init(jax.random.key(5), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    ckpt = str(tmp_path / "cnn.ckpt")
+    save_checkpoint_file(
+        ckpt,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    path = export_stablehlo(
+        ckpt, str(tmp_path / "cnn.stablehlo"), batch=2, scale_factor=4,
+        compute_dtype="float32", model_arch="TactileSRCNN",
+    )
+    with open(path, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    x = np.random.default_rng(6).random((2, 3, 4, 4)).astype(np.float32)
+    out = np.asarray(restored.call(jnp.asarray(x)))
+    want = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
 def test_fold_is_pure_and_cacheable():
     model = TactileSR(
         scale_factor=10,

@@ -38,6 +38,28 @@ def test_resolve_mesh_off_and_one():
     )
 
 
+def test_resolve_mesh_bool_true_means_auto():
+    # regression: True == 1 must NOT match the disable-tuple
+    mesh = resolve_mesh(True, batch_size=16)
+    assert mesh is not None and mesh.shape["data"] > 1
+    assert resolve_mesh(False) is None
+
+
+def test_pallas_physics_forced_off_under_mesh():
+    from tactilesr_tpu.parallel.mesh import make_mesh
+    from tactilesr_tpu.tasks.tpsf_task import resolve_pallas_physics
+
+    import jax
+
+    mesh = make_mesh(jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    # auto: never on under a mesh (pallas_call is not SPMD-partitionable)
+    assert resolve_pallas_physics({"use_pallas_physics": "auto"}, mesh) is False
+    assert resolve_pallas_physics({"use_pallas_physics": "auto"}, None) == on_tpu
+    # explicit true still wins (with a runtime warning)
+    assert resolve_pallas_physics({"use_pallas_physics": True}, mesh) is True
+
+
 def test_resolve_mesh_explicit_int():
     mesh = resolve_mesh(4, batch_size=32)
     assert mesh.shape["data"] == 4
