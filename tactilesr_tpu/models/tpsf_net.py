@@ -36,7 +36,10 @@ class TPSFNet(nn.Module):
     gama: float = 1.4
     perception_scale: Optional[float] = None
     dtype: Any = jnp.float32
-    use_pallas: bool = False  # fused single-kernel physics path
+    use_pallas: bool = False  # fused batch-tiled physics kernel
+    # device mesh for data-parallel training: the pallas path shard_maps
+    # over the data axis so each device runs the kernel on its local shard
+    mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, depth, return_psf: bool = True):
@@ -55,7 +58,11 @@ class TPSFNet(nn.Module):
 
         depth2d = depth.reshape(b, depth.shape[-2], depth.shape[-1])
         hr, lr_degrade, psf = tpsf_forward_physics(
-            depth2d, alpha_beta, return_psf=return_psf, use_pallas=self.use_pallas
+            depth2d,
+            alpha_beta,
+            return_psf=return_psf,
+            use_pallas=self.use_pallas,
+            mesh=self.mesh,
         )
 
         hr = hr[:, None]  # (B, 1, 100, 100)

@@ -181,18 +181,61 @@ def _physics_single(depth, alpha_beta_m):
 
 
 def tpsf_forward_physics(
-    depth, alpha_beta_m, return_psf: bool = True, use_pallas: bool = False
+    depth, alpha_beta_m, return_psf: bool = True, use_pallas: bool = False,
+    mesh=None,
 ):
     """Batched physics: depth (B,100,100), alpha_beta_m (B,3) ->
     (HR (B,100,100), LR_degrade (B,4,4), psf (B,99,99) or None).
 
-    ``use_pallas`` routes through the fused single-kernel path
+    ``use_pallas`` routes through the fused batch-tiled kernel
     (ops/pallas/tpsf_kernel.py); numerically equivalent, keeps all
-    intermediates in VMEM."""
+    intermediates in VMEM.  Under a device ``mesh`` the kernel is wrapped in
+    ``shard_map`` over the data axis -- ``pallas_call`` is not
+    SPMD-partitionable by GSPMD, so without the wrapper the compiler would
+    all-gather the sharded batch and run the physics replicated on every
+    device; with it, each device runs the kernel on its local batch shard
+    (the physics is per-sample, so no cross-shard communication exists).
+    The custom_vjp backward (XLA recompute) shards the same way."""
     if use_pallas:
         from .pallas.tpsf_kernel import tpsf_physics_fused
 
-        hr, lr_degrade = tpsf_physics_fused(depth, alpha_beta_m)
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS as _DA
+
+            # init/eval/inference call with small batches (down to 1) that
+            # need not divide the data axis; shard_map requires an even
+            # split, so those fall through to the plain kernel (their
+            # inputs are replicated anyway -- no GSPMD gather to avoid)
+            if depth.shape[0] % mesh.shape[_DA] != 0:
+                mesh = None
+        if mesh is not None:
+            import inspect
+
+            try:
+                from jax import shard_map  # jax >= 0.8
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            # replication checking can't see through pallas_call/custom_vjp;
+            # the kwarg was renamed check_rep -> check_vma in jax 0.8
+            sig = inspect.signature(shard_map).parameters
+            check_kw = (
+                {"check_vma": False}
+                if "check_vma" in sig
+                else {"check_rep": False}
+            )
+            hr, lr_degrade = shard_map(
+                tpsf_physics_fused,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                **check_kw,
+            )(depth, alpha_beta_m)
+        else:
+            hr, lr_degrade = tpsf_physics_fused(depth, alpha_beta_m)
     else:
         hr, lr_degrade = _physics_single(depth, alpha_beta_m)
     psf = None

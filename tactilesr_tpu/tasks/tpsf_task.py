@@ -37,36 +37,19 @@ __all__ = ["TPSFTrainer", "build_model", "build_eval_fn", "InferenceHookTPSF", "
 logger = logging.getLogger("tactilesr_tpu")
 
 
-def resolve_pallas_physics(config, mesh=None) -> bool:
-    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only AND
-    single-device (the tiled kernel wins ~1.2x on one chip; interpret mode
-    elsewhere is test-only).
-
-    Under a device mesh the kernel is forced off in auto mode:
-    ``pallas_call`` is not SPMD-partitionable, so GSPMD would all-gather the
-    sharded depth batch and run the physics replicated on every device --
-    N-times redundant compute that negates data parallelism on exactly this
-    op.  An explicit ``true`` still wins, with a warning.
-    """
+def resolve_pallas_physics(config) -> bool:
+    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only (the
+    tiled kernel wins ~1.2x there; interpret mode elsewhere is test-only).
+    Mesh-safe either way: under a device mesh the model shard_maps the
+    kernel over the data axis (models/tpsf_net.py, ops/psf.py)."""
     val = config.get("use_pallas_physics", "auto")
-    if isinstance(val, str) and val.lower() == "auto":
-        import jax
+    if isinstance(val, str):
+        if val.lower() == "auto":
+            import jax
 
-        return jax.default_backend() == "tpu" and mesh is None
-    on = (
-        val.lower() in ("1", "true", "yes", "on")
-        if isinstance(val, str)
-        else bool(val)
-    )
-    if on and mesh is not None:
-        logger.warning(
-            "use_pallas_physics=true under a %d-device mesh: pallas_call is "
-            "not SPMD-partitionable, so the physics will run replicated on "
-            "every device (redundant compute). Prefer use_pallas_physics="
-            "auto, which disables the kernel when a mesh is active.",
-            mesh.devices.size,
-        )
-    return on
+            return jax.default_backend() == "tpu"
+        return val.lower() in ("1", "true", "yes", "on")
+    return bool(val)
 
 
 def build_model(config, mesh=None) -> TPSFNet:
@@ -74,7 +57,8 @@ def build_model(config, mesh=None) -> TPSFNet:
         gama=config["gama"],
         perception_scale=config["perception_scale"],
         dtype=jnp.dtype(config.get("compute_dtype", "float32")),
-        use_pallas=resolve_pallas_physics(config, mesh),
+        use_pallas=resolve_pallas_physics(config),
+        mesh=mesh,
     )
 
 

@@ -45,19 +45,97 @@ def test_resolve_mesh_bool_true_means_auto():
     assert resolve_mesh(False) is None
 
 
-def test_pallas_physics_forced_off_under_mesh():
-    from tactilesr_tpu.parallel.mesh import make_mesh
-    from tactilesr_tpu.tasks.tpsf_task import resolve_pallas_physics
+def test_pallas_physics_shard_maps_over_mesh():
+    """pallas_call is not GSPMD-partitionable; under a mesh the physics runs
+    through shard_map so each device computes only its local batch shard.
+    Asserts (a) numerical equality with the XLA path, (b) the output stays
+    batch-sharded (no all-gather-and-replicate)."""
+    import numpy as np
 
     import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tactilesr_tpu.ops.psf import tpsf_forward_physics
+    from tactilesr_tpu.parallel.mesh import batch_sharding, make_mesh
 
     mesh = make_mesh(jax.devices())
-    on_tpu = jax.default_backend() == "tpu"
-    # auto: never on under a mesh (pallas_call is not SPMD-partitionable)
-    assert resolve_pallas_physics({"use_pallas_physics": "auto"}, mesh) is False
-    assert resolve_pallas_physics({"use_pallas_physics": "auto"}, None) == on_tpu
-    # explicit true still wins (with a runtime warning)
-    assert resolve_pallas_physics({"use_pallas_physics": True}, mesh) is True
+    rng = np.random.default_rng(0)
+    b = 16
+    depth = (rng.random((b, 100, 100)) * 3).astype(np.float32)
+    abm = (rng.random((b, 3)) + 0.5).astype(np.float32)
+    sh = batch_sharding(mesh)
+    depth_s = jax.device_put(jnp.asarray(depth), sh)
+    abm_s = jax.device_put(jnp.asarray(abm), sh)
+
+    @jax.jit
+    def pallas_path(d, a):
+        hr, lr, _ = tpsf_forward_physics(
+            d, a, return_psf=False, use_pallas=True, mesh=mesh
+        )
+        return hr, lr
+
+    hr_p, lr_p = pallas_path(depth_s, abm_s)
+    hr_x, lr_x, _ = tpsf_forward_physics(
+        jnp.asarray(depth), jnp.asarray(abm), return_psf=False
+    )
+    np.testing.assert_allclose(np.asarray(hr_p), np.asarray(hr_x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lr_p), np.asarray(lr_x), rtol=1e-4, atol=1e-6)
+    spec = hr_p.sharding.spec
+    assert spec and spec[0] == "data", f"HR not batch-sharded: {spec}"
+
+
+def test_pallas_physics_mesh_fallback_small_batch():
+    """init/eval call with batches (down to 1) that don't divide the data
+    axis; the mesh path must fall back to the plain kernel, not raise."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.ops.psf import tpsf_forward_physics
+    from tactilesr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    rng = np.random.default_rng(2)
+    for b in (1, 3):
+        depth = jnp.asarray((rng.random((b, 100, 100)) * 3).astype(np.float32))
+        abm = jnp.asarray((rng.random((b, 3)) + 0.5).astype(np.float32))
+        hr, lr, _ = tpsf_forward_physics(
+            depth, abm, return_psf=False, use_pallas=True, mesh=mesh
+        )
+        hr_x, lr_x, _ = tpsf_forward_physics(depth, abm, return_psf=False)
+        np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_x), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_physics_grad_under_mesh():
+    """The custom_vjp backward (XLA recompute) must also shard."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.ops.psf import tpsf_forward_physics
+    from tactilesr_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(jax.devices())
+    rng = np.random.default_rng(1)
+    b = 8
+    depth = jnp.asarray((rng.random((b, 100, 100)) * 3).astype(np.float32))
+    abm = jnp.asarray((rng.random((b, 3)) + 0.5).astype(np.float32))
+    sh = batch_sharding(mesh)
+
+    def loss(a, d, use_pallas, m):
+        hr, lr, _ = tpsf_forward_physics(
+            d, a, return_psf=False, use_pallas=use_pallas, mesh=m
+        )
+        return jnp.sum(lr**2) + 1e-6 * jnp.sum(hr)
+
+    g_p = jax.jit(jax.grad(lambda a, d: loss(a, d, True, mesh)))(
+        jax.device_put(abm, sh), jax.device_put(depth, sh)
+    )
+    g_x = jax.grad(lambda a, d: loss(a, d, False, None))(abm, depth)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-6)
 
 
 def test_resolve_mesh_explicit_int():
