@@ -60,6 +60,37 @@ def test_predict_more_than_max_bucket(tmp_path, rng):
     assert out.shape == (9, 1, 16, 16)
 
 
+def test_predictor_mtsr_seqs7(tmp_path, rng):
+    """MTSR serving: seqs_cnt=7 (the reference's maximum), fused vs training
+    graph."""
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=7, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v = jax.device_get(
+        model.init(jax.random.key(7), jnp.zeros((1, 21, 4, 4)), train=False)
+    )
+    path = str(tmp_path / "mtsr.ckpt")
+    save_checkpoint_file(
+        path,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    kw = dict(
+        scale_factor=4, seqs_cnt=7, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    pred = SRPredictor(path, **kw)
+    pred_ref = SRPredictor(path, fused=False, **kw)
+    lr = (rng.random((4, 21, 4, 4)) * 4).astype(np.float32)
+    out = pred.predict(lr)
+    assert out.shape == (4, 1, 16, 16)
+    np.testing.assert_allclose(out, pred_ref.predict(lr), rtol=1e-4, atol=1e-4)
+
+
 def test_mesh_sharded_serving_matches_single_device(tmp_path, rng):
     """Data-parallel serving over the 8-device CPU mesh: identical outputs,
     buckets rounded up to data-axis multiples."""
