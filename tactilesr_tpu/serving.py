@@ -118,21 +118,32 @@ class SRPredictor:
         if fused:
             # one-time host-side graph rewrite: BN fold + conv merge/split
             # (models/inference.py); exact in f32, rounding-only in bf16
+            try:
+                if model_arch == "TactileSRCNN":
+                    self._folded = fold_inference_params_cnn(
+                        self.variables, dtype=jnp.dtype(compute_dtype)
+                    )
+                else:
+                    self._folded = fold_inference_params(
+                        self.variables,
+                        seqs_cnt=seqs_cnt,
+                        pattern_layers=pattern_layers,
+                        force_layers=force_layers,
+                        dtype=jnp.dtype(compute_dtype),
+                    )
+            except KeyError as e:
+                raise KeyError(
+                    f"checkpoint {checkpoint_path!r} has no parameter {e} -- "
+                    f"do model_arch={model_arch!r}, seqs_cnt={seqs_cnt}, "
+                    f"pattern_layers={pattern_layers}, "
+                    f"force_layers={force_layers} match the trained "
+                    "architecture?"
+                ) from e
             if model_arch == "TactileSRCNN":
-                self._folded = fold_inference_params_cnn(
-                    self.variables, dtype=jnp.dtype(compute_dtype)
-                )
                 self._forward = lambda _v, x: tactile_sr_cnn_infer(
                     self._folded, x, scale_factor=scale_factor
                 )
             else:
-                self._folded = fold_inference_params(
-                    self.variables,
-                    seqs_cnt=seqs_cnt,
-                    pattern_layers=pattern_layers,
-                    force_layers=force_layers,
-                    dtype=jnp.dtype(compute_dtype),
-                )
                 infer_kw = dict(
                     scale_factor=scale_factor,
                     seqs_cnt=seqs_cnt,

@@ -91,6 +91,24 @@ def test_predictor_mtsr_seqs7(tmp_path, rng):
     np.testing.assert_allclose(out, pred_ref.predict(lr), rtol=1e-4, atol=1e-4)
 
 
+def test_arch_mismatch_raises_clear_error(tmp_path):
+    """Serving a checkpoint with the wrong architecture knobs should name
+    the knobs, not die with a bare KeyError."""
+    import pytest
+
+    ckpt = _make_ckpt(tmp_path, pattern_layers=1)
+    with pytest.raises(KeyError, match="model_arch.*pattern_layers"):
+        SRPredictor(
+            ckpt, scale_factor=4, pattern_layers=3, force_layers=1,
+            compute_dtype="float32", buckets=(4,),
+        )
+    with pytest.raises(KeyError, match="TactileSRCNN"):
+        SRPredictor(
+            ckpt, scale_factor=4, compute_dtype="float32", buckets=(4,),
+            model_arch="TactileSRCNN",
+        )
+
+
 def test_mesh_sharded_serving_matches_single_device(tmp_path, rng):
     """Data-parallel serving over the 8-device CPU mesh: identical outputs,
     buckets rounded up to data-axis multiples."""
