@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Reproduce docs/PERF.md: trace the fused serving forward and print the
+per-fusion device-time table.
+
+Usage:  python scripts/profile_serving.py [--batch 4096] [--iters 3]
+
+Captures a ``jax.profiler`` trace of ``tactile_sr_infer`` (the fused
+serving graph) on the default device, then parses the chrome trace for
+per-op device durations and prints the top fusions with their share of an
+iteration.  On the tunneled axon TPU, sync points are scalar fetches (see
+bench.py header).
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--top", type=int, default=25)
+    args = p.parse_args()
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="sr_trace_")
+
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.models.inference import (
+        fold_inference_params,
+        tactile_sr_infer,
+    )
+    from tactilesr_tpu.models.tactile_sr import TactileSR
+
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=1,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=6,
+        force_feature_extra_layer_cnt=1,
+        dtype=jnp.bfloat16,
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+    folded = jax.device_put(fold_inference_params(variables, dtype=jnp.bfloat16))
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.random((args.batch, 3, 4, 4)).astype(np.float32))
+
+    out = tactile_sr_infer(folded, x)
+    float(jnp.asarray(out[0, 0, 0, 0]))  # compile + sync
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.iters):
+            out = tactile_sr_infer(folded, x)
+        float(jnp.asarray(out[0, 0, 0, 0]))
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        print(f"no trace produced under {trace_dir}", file=sys.stderr)
+        return 1
+    with gzip.open(paths[-1], "rt") as f:
+        tr = json.load(f)
+    events = tr["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            dur[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    it = args.iters
+    total = sum(d for n, d in dur.items() if n.startswith("jit_"))
+    print(f"trace: {paths[-1]}")
+    print(f"total device time: {total/it/1e3:.1f} ms/iter over {it} iters\n")
+    print(f"{'ms/iter':>9}  {'calls':>5}  op")
+    for n, d in dur.most_common(args.top):
+        print(f"{d/it/1e3:9.2f}  {cnt[n]:5d}  {n[:80]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
