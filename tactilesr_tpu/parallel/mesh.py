@@ -95,6 +95,14 @@ def resolve_mesh(
         devices = jax.devices()
     if spec is True:  # bool before the off-tuple: True == 1 would match it
         spec = "auto"
+    if isinstance(spec, str):  # CLI strings: accept on/off synonyms
+        low = spec.strip().lower()
+        if low in ("true", "on", "yes"):
+            spec = "auto"
+        elif low in ("false", "no", "none"):
+            spec = "off"
+        else:
+            spec = low
     if spec is False or spec in (None, "off", "0", "1", 0, 1):
         return None
     n = len(devices)

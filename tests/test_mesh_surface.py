@@ -43,6 +43,11 @@ def test_resolve_mesh_bool_true_means_auto():
     mesh = resolve_mesh(True, batch_size=16)
     assert mesh is not None and mesh.shape["data"] > 1
     assert resolve_mesh(False) is None
+    # CLI string synonyms must not crash int() parsing
+    assert resolve_mesh("true", batch_size=16).shape["data"] > 1
+    assert resolve_mesh("ON", batch_size=16).shape["data"] > 1
+    assert resolve_mesh("false") is None
+    assert resolve_mesh("OFF") is None
 
 
 def test_pallas_physics_shard_maps_over_mesh():
