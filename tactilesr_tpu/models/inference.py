@@ -122,6 +122,18 @@ def _cast_folded(out: dict, dtype) -> dict:
     }
 
 
+def _check_all_consumed(params: dict, consumed: set, hint: str) -> None:
+    """Under-specified knobs would silently fold a truncated network (e.g.
+    pattern_layers=1 on a 3-layer checkpoint reads only msrb_0 and serves
+    garbage); refuse if any checkpoint module went unread."""
+    extra = sorted(set(params) - consumed)
+    if extra:
+        raise ValueError(
+            f"checkpoint contains modules the requested architecture does "
+            f"not consume: {extra} -- {hint}"
+        )
+
+
 def fold_inference_params(
     variables: dict,
     *,
@@ -186,6 +198,18 @@ def fold_inference_params(
     out["head0/kp"] = hk[:, :, 64:, :]
     out["head1/k"] = _np(params["output_conv1"]["conv"]["kernel"])
 
+    consumed = {"inputContact_layer", "inputContact_layer_bn",
+                "input_layer_force", "output_conv0", "output_conv1"}
+    for s in range(seqs_cnt):
+        for c in ("conv0", "conv0_bn", "conv1", "conv1_bn"):
+            consumed.add(f"inputLayer_pattern_{s}_{c}")
+    consumed |= {f"patternFeatureExtra_layer_{i}" for i in range(pattern_layers)}
+    consumed |= {f"forceFeatureExtra_layer_{i}" for i in range(force_layers)}
+    _check_all_consumed(
+        params, consumed,
+        f"do seqs_cnt={seqs_cnt}, pattern_layers={pattern_layers}, "
+        f"force_layers={force_layers} match the trained architecture?",
+    )
     return _cast_folded(out, dtype)
 
 
@@ -218,6 +242,16 @@ def fold_inference_params_cnn(
         )
 
     out["head/k"] = _np(params["output_conv"]["conv"]["kernel"])
+
+    consumed = {"output_conv"}
+    for i in range(3):
+        consumed |= {f"input_zyx_conv{i}", f"input_zyx_bn{i}"}
+    consumed |= {f"msrb_layer_{i}" for i in range(msrb_cnt)}
+    _check_all_consumed(
+        params, consumed,
+        f"does msrb_cnt={msrb_cnt} match the trained TactileSRCNN (and is "
+        "this really a TactileSRCNN checkpoint)?",
+    )
     return _cast_folded(out, dtype)
 
 

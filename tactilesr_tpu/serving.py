@@ -132,12 +132,24 @@ class SRPredictor:
                         dtype=jnp.dtype(compute_dtype),
                     )
             except KeyError as e:
+                if not self.variables.get("batch_stats"):
+                    raise KeyError(
+                        f"checkpoint {checkpoint_path!r} has no batch_stats "
+                        "(required to fold eval-mode BatchNorm); was it "
+                        "saved before any training step?"
+                    ) from e
+                knobs = (
+                    f"model_arch={model_arch!r}"
+                    if model_arch == "TactileSRCNN"
+                    else (
+                        f"model_arch={model_arch!r}, seqs_cnt={seqs_cnt}, "
+                        f"pattern_layers={pattern_layers}, "
+                        f"force_layers={force_layers}"
+                    )
+                )
                 raise KeyError(
                     f"checkpoint {checkpoint_path!r} has no parameter {e} -- "
-                    f"do model_arch={model_arch!r}, seqs_cnt={seqs_cnt}, "
-                    f"pattern_layers={pattern_layers}, "
-                    f"force_layers={force_layers} match the trained "
-                    "architecture?"
+                    f"do {knobs} match the trained architecture?"
                 ) from e
             if model_arch == "TactileSRCNN":
                 self._forward = lambda _v, x: tactile_sr_cnn_infer(

@@ -109,6 +109,42 @@ def test_arch_mismatch_raises_clear_error(tmp_path):
         )
 
 
+def test_arch_underspec_raises_instead_of_truncating(tmp_path):
+    """UNDER-specified knobs must refuse, not silently fold a truncated
+    network: pattern_layers=1 on a 2-layer checkpoint, seqs_cnt=1 on an
+    MTSR checkpoint."""
+    import pytest
+
+    ckpt2 = _make_ckpt(tmp_path, pattern_layers=2)
+    with pytest.raises(ValueError, match="patternFeatureExtra_layer_1"):
+        SRPredictor(
+            ckpt2, scale_factor=4, pattern_layers=1, force_layers=1,
+            compute_dtype="float32", buckets=(4,),
+        )
+
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=2, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v = jax.device_get(
+        model.init(jax.random.key(8), jnp.zeros((1, 6, 4, 4)), train=False)
+    )
+    mtsr = str(tmp_path / "mtsr2.ckpt")
+    save_checkpoint_file(
+        mtsr,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    with pytest.raises(ValueError, match="inputLayer_pattern_1"):
+        SRPredictor(
+            mtsr, scale_factor=4, seqs_cnt=1, pattern_layers=1, force_layers=1,
+            compute_dtype="float32", buckets=(4,),
+        )
+
+
 def test_mesh_sharded_serving_matches_single_device(tmp_path, rng):
     """Data-parallel serving over the 8-device CPU mesh: identical outputs,
     buckets rounded up to data-axis multiples."""
