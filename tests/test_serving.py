@@ -165,6 +165,11 @@ def test_mesh_sharded_serving_matches_single_device(tmp_path, rng):
     np.testing.assert_allclose(
         pred_mesh.predict(lr), pred_one.predict(lr), rtol=1e-5, atol=1e-5
     )
+    # the literal-training-graph path must also serve under the mesh
+    pred_mesh_raw = SRPredictor(ckpt, buckets=(8,), mesh=mesh, fused=False, **kw)
+    np.testing.assert_allclose(
+        pred_mesh_raw.predict(lr), pred_one.predict(lr), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_stablehlo_export_roundtrip(tmp_path, rng):
