@@ -77,15 +77,12 @@ class SRPredictor:
                 dtype=jnp.dtype(compute_dtype),
             )
         self.in_channels = seqs_cnt * axis_cnt
-        bundle = load_checkpoint_file(checkpoint_path)
-        model_state = bundle["model"]
-        # host-side view of the training-graph weights; the fused path only
-        # reads them once during folding, so they go device-resident only
-        # when serving the literal training graph (fused=False)
-        self.variables = {
-            "params": model_state["params"],
-            "batch_stats": model_state.get("batch_stats", {}),
-        }
+        self._knobs = dict(
+            seqs_cnt=seqs_cnt,
+            pattern_layers=pattern_layers,
+            force_layers=force_layers,
+            compute_dtype=compute_dtype,
+        )
         # data-parallel serving: batches shard over the mesh's data axis,
         # weights replicate; XLA compiles the per-device program, results
         # gather on fetch.  Buckets round up to data-axis multiples so every
@@ -109,48 +106,8 @@ class SRPredictor:
             rep = replicated_sharding(mesh)
         self.buckets = tuple(sorted(buckets))
         self.fused = fused
-        if not fused:
-            self.variables = (
-                jax.device_put(self.variables, rep)
-                if rep is not None
-                else jax.device_put(self.variables)
-            )
+        self._rep = rep
         if fused:
-            # one-time host-side graph rewrite: BN fold + conv merge/split
-            # (models/inference.py); exact in f32, rounding-only in bf16
-            try:
-                if model_arch == "TactileSRCNN":
-                    self._folded = fold_inference_params_cnn(
-                        self.variables, dtype=jnp.dtype(compute_dtype)
-                    )
-                else:
-                    self._folded = fold_inference_params(
-                        self.variables,
-                        seqs_cnt=seqs_cnt,
-                        pattern_layers=pattern_layers,
-                        force_layers=force_layers,
-                        dtype=jnp.dtype(compute_dtype),
-                    )
-            except KeyError as e:
-                if not self.variables.get("batch_stats"):
-                    raise KeyError(
-                        f"checkpoint {checkpoint_path!r} has no batch_stats "
-                        "(required to fold eval-mode BatchNorm); was it "
-                        "saved before any training step?"
-                    ) from e
-                knobs = (
-                    f"model_arch={model_arch!r}"
-                    if model_arch == "TactileSRCNN"
-                    else (
-                        f"model_arch={model_arch!r}, seqs_cnt={seqs_cnt}, "
-                        f"pattern_layers={pattern_layers}, "
-                        f"force_layers={force_layers}"
-                    )
-                )
-                raise KeyError(
-                    f"checkpoint {checkpoint_path!r} has no parameter {e} -- "
-                    f"do {knobs} match the trained architecture?"
-                ) from e
             if model_arch == "TactileSRCNN":
                 self._forward = lambda _v, x: tactile_sr_cnn_infer(
                     self._folded, x, scale_factor=scale_factor
@@ -166,15 +123,11 @@ class SRPredictor:
                 self._forward = lambda _v, x: tactile_sr_infer(
                     self._folded, x, **infer_kw
                 )
-            self._folded = (
-                jax.device_put(self._folded, rep)
-                if rep is not None
-                else jax.device_put(self._folded)
-            )
         else:
             self._forward = jax.jit(
                 lambda v, x: self.model.apply(v, x, train=False)
             )
+        self._load_weights(checkpoint_path)
         logger.info(
             "SRPredictor ready: %s (%s, buckets %s, fused=%s)",
             checkpoint_path,
@@ -182,6 +135,85 @@ class SRPredictor:
             self.buckets,
             fused,
         )
+
+    def _load_weights(self, checkpoint_path: str) -> None:
+        """Load (or hot-swap) checkpoint weights into the serving state."""
+        k = self._knobs
+        bundle = load_checkpoint_file(checkpoint_path)
+        model_state = bundle["model"]
+        # host-side view of the training-graph weights; the fused path only
+        # reads them once during folding, so they go device-resident only
+        # when serving the literal training graph (fused=False)
+        self.variables = {
+            "params": model_state["params"],
+            "batch_stats": model_state.get("batch_stats", {}),
+        }
+        if not self.fused:
+            self.variables = (
+                jax.device_put(self.variables, self._rep)
+                if self._rep is not None
+                else jax.device_put(self.variables)
+            )
+            return
+        # one-time host-side graph rewrite: BN fold + conv merge/split
+        # (models/inference.py); exact in f32, rounding-only in bf16
+        try:
+            if self.model_arch == "TactileSRCNN":
+                folded = fold_inference_params_cnn(
+                    self.variables, dtype=jnp.dtype(k["compute_dtype"])
+                )
+            else:
+                folded = fold_inference_params(
+                    self.variables,
+                    seqs_cnt=k["seqs_cnt"],
+                    pattern_layers=k["pattern_layers"],
+                    force_layers=k["force_layers"],
+                    dtype=jnp.dtype(k["compute_dtype"]),
+                )
+        except KeyError as e:
+            if not self.variables.get("batch_stats"):
+                raise KeyError(
+                    f"checkpoint {checkpoint_path!r} has no batch_stats "
+                    "(required to fold eval-mode BatchNorm); was it "
+                    "saved before any training step?"
+                ) from e
+            knobs = (
+                f"model_arch={self.model_arch!r}"
+                if self.model_arch == "TactileSRCNN"
+                else (
+                    f"model_arch={self.model_arch!r}, "
+                    f"seqs_cnt={k['seqs_cnt']}, "
+                    f"pattern_layers={k['pattern_layers']}, "
+                    f"force_layers={k['force_layers']}"
+                )
+            )
+            raise KeyError(
+                f"checkpoint {checkpoint_path!r} has no parameter {e} -- "
+                f"do {knobs} match the trained architecture?"
+            ) from e
+        self._folded = (
+            jax.device_put(folded, self._rep)
+            if self._rep is not None
+            else jax.device_put(folded)
+        )
+
+    def reload_checkpoint(self, checkpoint_path: str) -> None:
+        """Hot-swap weights on a live predictor without recompilation.
+
+        The compiled forwards are keyed on shapes/dtypes, which a same-
+        architecture checkpoint preserves, so the next ``predict`` call
+        reuses the existing executables with the new weights.  A mismatched
+        checkpoint raises (see ``_load_weights``) and leaves the previous
+        weights serving."""
+        old_vars, old_folded = self.variables, getattr(self, "_folded", None)
+        try:
+            self._load_weights(checkpoint_path)
+        except Exception:
+            self.variables = old_vars
+            if old_folded is not None:
+                self._folded = old_folded
+            raise
+        logger.info("SRPredictor weights hot-swapped from %s", checkpoint_path)
 
     def _place(self, x: jnp.ndarray) -> jnp.ndarray:
         """Shard the batch over the mesh's data axis (no-op single-device)."""

@@ -91,6 +91,52 @@ def test_predictor_mtsr_seqs7(tmp_path, rng):
     np.testing.assert_allclose(out, pred_ref.predict(lr), rtol=1e-4, atol=1e-4)
 
 
+def test_reload_checkpoint_hot_swap(tmp_path, rng):
+    """Weight hot-swap: same-architecture reload changes outputs without
+    recompiling; a mismatched reload raises and keeps the old weights."""
+    import pytest
+
+    ckpt_a = _make_ckpt(tmp_path, pattern_layers=1)
+    # a second checkpoint with different weights (different init key)
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v2 = jax.device_get(
+        model.init(jax.random.key(99), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    ckpt_b = str(tmp_path / "model_b.ckpt")
+    save_checkpoint_file(
+        ckpt_b,
+        {
+            "num_devices": 1,
+            "model": {"params": v2["params"], "batch_stats": v2.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    bad = _make_ckpt(tmp_path / "bad", pattern_layers=2)
+
+    pred = SRPredictor(
+        ckpt_a, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    x = (rng.random((4, 3, 4, 4)) * 4).astype(np.float32)
+    out_a = pred.predict(x)
+    pred.reload_checkpoint(ckpt_b)
+    out_b = pred.predict(x)
+    assert np.abs(out_a - out_b).max() > 1e-4  # weights actually changed
+    # matches a fresh predictor on ckpt_b
+    fresh = SRPredictor(
+        ckpt_b, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    np.testing.assert_allclose(out_b, fresh.predict(x), rtol=1e-6, atol=1e-6)
+    # mismatched reload refuses and keeps serving the old weights
+    with pytest.raises(ValueError):
+        pred.reload_checkpoint(bad)
+    np.testing.assert_allclose(pred.predict(x), out_b, rtol=1e-6, atol=1e-6)
+
+
 def test_arch_mismatch_raises_clear_error(tmp_path):
     """Serving a checkpoint with the wrong architecture knobs should name
     the knobs, not die with a bare KeyError."""
