@@ -255,6 +255,11 @@ def main():
                         "RESULTS.md"
                     ),
                     "latency_ms_median_incl_tunnel_rtt": latency_ms,
+                    "latency_note": (
+                        "medians are tunnel-RTT-dominated; device-side "
+                        "trace-measured latency is sub-ms at B=1 -- see "
+                        "RESULTS.md"
+                    ),
                     "train_throughput": (
                         "see `python bench.py --train` and RESULTS.md; "
                         "torch-CPU reference baseline provenance: "
