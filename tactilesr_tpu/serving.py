@@ -77,12 +77,10 @@ class SRPredictor:
                 dtype=jnp.dtype(compute_dtype),
             )
         self.in_channels = seqs_cnt * axis_cnt
-        self._knobs = dict(
-            seqs_cnt=seqs_cnt,
-            pattern_layers=pattern_layers,
-            force_layers=force_layers,
-            compute_dtype=compute_dtype,
-        )
+        self._seqs_cnt = seqs_cnt
+        self._pattern_layers = pattern_layers
+        self._force_layers = force_layers
+        self._compute_dtype = compute_dtype
         # data-parallel serving: batches shard over the mesh's data axis,
         # weights replicate; XLA compiles the per-device program, results
         # gather on fetch.  Buckets round up to data-axis multiples so every
@@ -109,8 +107,8 @@ class SRPredictor:
         self._rep = rep
         if fused:
             if model_arch == "TactileSRCNN":
-                self._forward = lambda _v, x: tactile_sr_cnn_infer(
-                    self._folded, x, scale_factor=scale_factor
+                self._forward = lambda w, x: tactile_sr_cnn_infer(
+                    w, x, scale_factor=scale_factor
                 )
             else:
                 infer_kw = dict(
@@ -120,8 +118,8 @@ class SRPredictor:
                     pattern_layers=pattern_layers,
                     force_layers=force_layers,
                 )
-                self._forward = lambda _v, x: tactile_sr_infer(
-                    self._folded, x, **infer_kw
+                self._forward = lambda w, x: tactile_sr_infer(
+                    w, x, **infer_kw
                 )
         else:
             self._forward = jax.jit(
@@ -137,22 +135,41 @@ class SRPredictor:
         )
 
     def _load_weights(self, checkpoint_path: str) -> None:
-        """Load (or hot-swap) checkpoint weights into the serving state."""
-        k = self._knobs
+        """Load (or hot-swap) checkpoint weights into the serving state.
+
+        All work happens on locals; ``self.variables``/``self._folded`` are
+        assigned only after every validation passed, so an error (or an
+        interrupt) anywhere leaves the previous weights serving intact."""
         bundle = load_checkpoint_file(checkpoint_path)
         model_state = bundle["model"]
         # host-side view of the training-graph weights; the fused path only
         # reads them once during folding, so they go device-resident only
         # when serving the literal training graph (fused=False)
-        self.variables = {
+        variables = {
             "params": model_state["params"],
             "batch_stats": model_state.get("batch_stats", {}),
         }
         if not self.fused:
+            old = getattr(self, "variables", None)
+            if old is not None:  # reload: the new tree must match exactly
+                import jax.tree_util as jtu
+
+                def spec(tree):
+                    return jtu.tree_map(
+                        lambda a: (tuple(np.shape(a)), str(np.result_type(a))),
+                        tree,
+                    )
+
+                if spec(old) != spec(variables):
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path!r} does not match the "
+                        "serving architecture (different parameter tree or "
+                        "shapes); previous weights keep serving"
+                    )
             self.variables = (
-                jax.device_put(self.variables, self._rep)
+                jax.device_put(variables, self._rep)
                 if self._rep is not None
-                else jax.device_put(self.variables)
+                else jax.device_put(variables)
             )
             return
         # one-time host-side graph rewrite: BN fold + conv merge/split
@@ -160,18 +177,18 @@ class SRPredictor:
         try:
             if self.model_arch == "TactileSRCNN":
                 folded = fold_inference_params_cnn(
-                    self.variables, dtype=jnp.dtype(k["compute_dtype"])
+                    variables, dtype=jnp.dtype(self._compute_dtype)
                 )
             else:
                 folded = fold_inference_params(
-                    self.variables,
-                    seqs_cnt=k["seqs_cnt"],
-                    pattern_layers=k["pattern_layers"],
-                    force_layers=k["force_layers"],
-                    dtype=jnp.dtype(k["compute_dtype"]),
+                    variables,
+                    seqs_cnt=self._seqs_cnt,
+                    pattern_layers=self._pattern_layers,
+                    force_layers=self._force_layers,
+                    dtype=jnp.dtype(self._compute_dtype),
                 )
         except KeyError as e:
-            if not self.variables.get("batch_stats"):
+            if not variables.get("batch_stats"):
                 raise KeyError(
                     f"checkpoint {checkpoint_path!r} has no batch_stats "
                     "(required to fold eval-mode BatchNorm); was it "
@@ -182,20 +199,25 @@ class SRPredictor:
                 if self.model_arch == "TactileSRCNN"
                 else (
                     f"model_arch={self.model_arch!r}, "
-                    f"seqs_cnt={k['seqs_cnt']}, "
-                    f"pattern_layers={k['pattern_layers']}, "
-                    f"force_layers={k['force_layers']}"
+                    f"seqs_cnt={self._seqs_cnt}, "
+                    f"pattern_layers={self._pattern_layers}, "
+                    f"force_layers={self._force_layers}"
                 )
             )
             raise KeyError(
                 f"checkpoint {checkpoint_path!r} has no parameter {e} -- "
                 f"do {knobs} match the trained architecture?"
             ) from e
-        self._folded = (
+        folded = (
             jax.device_put(folded, self._rep)
             if self._rep is not None
             else jax.device_put(folded)
         )
+        # commit: plain attribute rebinds are atomic under the GIL, and
+        # predict() snapshots the weights once per call, so an in-flight
+        # batch finishes entirely on whichever checkpoint it started with
+        self._folded = folded
+        self.variables = variables
 
     def reload_checkpoint(self, checkpoint_path: str) -> None:
         """Hot-swap weights on a live predictor without recompilation.
@@ -204,15 +226,9 @@ class SRPredictor:
         architecture checkpoint preserves, so the next ``predict`` call
         reuses the existing executables with the new weights.  A mismatched
         checkpoint raises (see ``_load_weights``) and leaves the previous
-        weights serving."""
-        old_vars, old_folded = self.variables, getattr(self, "_folded", None)
-        try:
-            self._load_weights(checkpoint_path)
-        except Exception:
-            self.variables = old_vars
-            if old_folded is not None:
-                self._folded = old_folded
-            raise
+        weights serving; an in-flight ``predict`` finishes entirely on the
+        weights it started with (per-call snapshot)."""
+        self._load_weights(checkpoint_path)
         logger.info("SRPredictor weights hot-swapped from %s", checkpoint_path)
 
     def _place(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -221,11 +237,17 @@ class SRPredictor:
             return x
         return jax.device_put(x, self._in_sharding)
 
+    def _current_weights(self):
+        """Snapshot of the serving weights; predict() reads this ONCE so a
+        concurrent reload_checkpoint never mixes checkpoints mid-batch."""
+        return self._folded if self.fused else self.variables
+
     def warmup(self) -> None:
         """Compile every bucket up front (first query stays fast)."""
+        w = self._current_weights()
         for b in self.buckets:
             x = self._place(jnp.zeros((b, self.in_channels, 4, 4), jnp.float32))
-            out = self._forward(self.variables, x)
+            out = self._forward(w, x)
         float(jnp.asarray(out.ravel()[0]))  # reliable sync on tunneled TPUs
 
     def _bucket(self, n: int) -> int:
@@ -243,6 +265,7 @@ class SRPredictor:
         n = lr.shape[0]
         outs = []
         i = 0
+        w = self._current_weights()  # one snapshot for the whole request
         while i < n:
             b = self._bucket(n - i)
             chunk = lr[i : i + b]
@@ -251,7 +274,7 @@ class SRPredictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
                 )
-            out = self._forward(self.variables, self._place(jnp.asarray(chunk)))
+            out = self._forward(w, self._place(jnp.asarray(chunk)))
             outs.append(np.asarray(out)[: b - pad])
             i += b - pad
         return np.concatenate(outs)
@@ -291,10 +314,10 @@ def export_stablehlo(
         fused=fused,
         model_arch=model_arch,
     )
-    variables = pred.variables
+    weights = pred._current_weights()
 
     def fwd(x):
-        return pred._forward(variables, x)
+        return pred._forward(weights, x)
 
     spec = jax.ShapeDtypeStruct((batch, pred.in_channels, 4, 4), jnp.float32)
     exported = jexport.export(jax.jit(fwd))(spec)

@@ -122,8 +122,13 @@ def test_reload_checkpoint_hot_swap(tmp_path, rng):
     )
     x = (rng.random((4, 3, 4, 4)) * 4).astype(np.float32)
     out_a = pred.predict(x)
+    from tactilesr_tpu.models.inference import tactile_sr_infer
+
+    cache_before = tactile_sr_infer._cache_size()
     pred.reload_checkpoint(ckpt_b)
     out_b = pred.predict(x)
+    # the core promise: same executables, new weights (no retrace/recompile)
+    assert tactile_sr_infer._cache_size() == cache_before
     assert np.abs(out_a - out_b).max() > 1e-4  # weights actually changed
     # matches a fresh predictor on ckpt_b
     fresh = SRPredictor(
@@ -135,6 +140,23 @@ def test_reload_checkpoint_hot_swap(tmp_path, rng):
     with pytest.raises(ValueError):
         pred.reload_checkpoint(bad)
     np.testing.assert_allclose(pred.predict(x), out_b, rtol=1e-6, atol=1e-6)
+
+    # the literal-training-graph path validates reloads too
+    pred_raw = SRPredictor(
+        ckpt_a, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,), fused=False,
+    )
+    raw_a = pred_raw.predict(x)
+    pred_raw.reload_checkpoint(ckpt_b)
+    np.testing.assert_allclose(
+        pred_raw.predict(x), out_b, rtol=1e-5, atol=1e-5
+    )
+    with pytest.raises(ValueError, match="previous weights keep serving"):
+        pred_raw.reload_checkpoint(bad)
+    np.testing.assert_allclose(
+        pred_raw.predict(x), out_b, rtol=1e-5, atol=1e-5
+    )
+    del raw_a
 
 
 def test_arch_mismatch_raises_clear_error(tmp_path):
