@@ -250,8 +250,9 @@ def main():
                 "extras": {
                     "note": (
                         "fused serving graph (BN fold + parallel-conv merge + "
-                        "concat splits, models/inference.py); ~87% of the "
-                        "14.9 GFLOP/frame bf16 roofline; full numbers in "
+                        "concat splits, models/inference.py); ~91% of the "
+                        "15.7 GFLOP/frame fused-graph bf16 roofline (84% "
+                        "counting original-graph FLOPs); full numbers in "
                         "RESULTS.md"
                     ),
                     "latency_ms_median_incl_tunnel_rtt": latency_ms,

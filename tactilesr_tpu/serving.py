@@ -208,6 +208,26 @@ class SRPredictor:
                 f"checkpoint {checkpoint_path!r} has no parameter {e} -- "
                 f"do {knobs} match the trained architecture?"
             ) from e
+        old_folded = getattr(self, "_folded", None)
+        if old_folded is not None:
+            # reload: the folded tree must match the serving executables'
+            # shapes/dtypes exactly, or the no-recompile hot-swap contract
+            # breaks (and a trace error would strand us weightless) -- same
+            # guarantee the unfused path enforces above
+            import jax.tree_util as jtu
+
+            def fspec(tree):
+                return jtu.tree_map(
+                    lambda a: (tuple(np.shape(a)), str(np.result_type(a))),
+                    tree,
+                )
+
+            if fspec(old_folded) != fspec(folded):
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} does not match the "
+                    "serving architecture (different folded-parameter "
+                    "shapes); previous weights keep serving"
+                )
         folded = (
             jax.device_put(folded, self._rep)
             if self._rep is not None

@@ -44,11 +44,21 @@ def resolve_pallas_physics(config) -> bool:
     kernel over the data axis (models/tpsf_net.py, ops/psf.py)."""
     val = config.get("use_pallas_physics", "auto")
     if isinstance(val, str):
-        if val.lower() == "auto":
+        low = val.lower()
+        if low == "auto":
             import jax
 
             return jax.default_backend() == "tpu"
-        return val.lower() in ("1", "true", "yes", "on")
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        # fail loud on typos ('ture', 'enable', ...) instead of silently
+        # dropping to the slower non-Pallas path -- matches resolve_mesh
+        raise ValueError(
+            f"use_pallas_physics={val!r}: expected auto|true|false "
+            "(or on/off/yes/no/1/0)"
+        )
     return bool(val)
 
 

@@ -72,3 +72,12 @@ def test_use_pallas_physics_auto_resolution():
     assert resolve_pallas_physics({"use_pallas_physics": True}) is True
     assert resolve_pallas_physics({"use_pallas_physics": False}) is False
     assert resolve_pallas_physics({"use_pallas_physics": "false"}) is False
+    assert resolve_pallas_physics({"use_pallas_physics": "on"}) is True
+    assert resolve_pallas_physics({"use_pallas_physics": "off"}) is False
+    # typos must fail loud, not silently disable the faster kernel path
+    import pytest
+
+    with pytest.raises(ValueError, match="use_pallas_physics"):
+        resolve_pallas_physics({"use_pallas_physics": "ture"})
+    with pytest.raises(ValueError, match="use_pallas_physics"):
+        resolve_pallas_physics({"use_pallas_physics": "enable"})

@@ -159,6 +159,112 @@ def test_reload_checkpoint_hot_swap(tmp_path, rng):
     del raw_a
 
 
+def test_reload_shape_mismatch_fused_path(tmp_path, rng):
+    """A checkpoint that FOLDS successfully (same module names) but with
+    different tensor shapes (here: axis_cnt=1 vs 3) must be refused by the
+    fused reload -- otherwise the next predict recompiles (breaking the
+    no-recompile hot-swap contract) with the old weights already gone."""
+    import pytest
+
+    ckpt_a = _make_ckpt(tmp_path, pattern_layers=1)
+    # same architecture knobs, but trained with a single force axis:
+    # every module name matches, so folding alone cannot catch it
+    model1 = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=1,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v1 = jax.device_get(
+        model1.init(jax.random.key(3), jnp.zeros((1, 1, 4, 4)), train=False)
+    )
+    ckpt_ax1 = str(tmp_path / "ax1.ckpt")
+    save_checkpoint_file(
+        ckpt_ax1,
+        {
+            "num_devices": 1,
+            "model": {"params": v1["params"], "batch_stats": v1.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    pred = SRPredictor(
+        ckpt_a, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    x = (rng.random((4, 3, 4, 4)) * 4).astype(np.float32)
+    out_a = pred.predict(x)
+    with pytest.raises(ValueError, match="previous weights keep serving"):
+        pred.reload_checkpoint(ckpt_ax1)
+    np.testing.assert_allclose(pred.predict(x), out_a, rtol=1e-6, atol=1e-6)
+
+
+def test_hot_swap_under_concurrent_predict(tmp_path, rng):
+    """Atomicity of hot-swap under concurrency: a reader thread streams
+    predict() while the main thread flips between two checkpoints.  Every
+    output must equal exactly one checkpoint's output -- never a mix."""
+    import threading
+
+    ckpt_a = _make_ckpt(tmp_path, pattern_layers=1)
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v2 = jax.device_get(
+        model.init(jax.random.key(99), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    ckpt_b = str(tmp_path / "model_b.ckpt")
+    save_checkpoint_file(
+        ckpt_b,
+        {
+            "num_devices": 1,
+            "model": {"params": v2["params"], "batch_stats": v2.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    pred = SRPredictor(
+        ckpt_a, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    pred.warmup()
+    # 6 frames over a 4-bucket -> each predict() is TWO forward chunks, so a
+    # mid-request swap would visibly mix checkpoints if the per-request
+    # snapshot were broken
+    x = (rng.random((6, 3, 4, 4)) * 4).astype(np.float32)
+    want_a = pred.predict(x)
+    fresh_b = SRPredictor(
+        ckpt_b, scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(4,),
+    )
+    want_b = fresh_b.predict(x)
+    assert np.abs(want_a - want_b).max() > 1e-4
+
+    outputs, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                outputs.append(pred.predict(x))
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for _ in range(30):
+        pred.reload_checkpoint(ckpt_b)
+        pred.reload_checkpoint(ckpt_a)
+    pred.reload_checkpoint(ckpt_b)
+    stop.set()
+    t.join(timeout=60)
+    assert not t.is_alive() and not errors
+    assert len(outputs) >= 3, "reader thread barely ran; weaken the swap loop"
+    for out in outputs:
+        da = np.abs(out - want_a).max()
+        db = np.abs(out - want_b).max()
+        assert min(da, db) < 1e-5, (
+            f"output matches neither checkpoint (|d_a|={da}, |d_b|={db}): "
+            "hot-swap mixed weights mid-request"
+        )
+
+
 def test_arch_mismatch_raises_clear_error(tmp_path):
     """Serving a checkpoint with the wrong architecture knobs should name
     the knobs, not die with a bare KeyError."""
