@@ -186,3 +186,22 @@ def test_profiler_hook(tmp_path, rng):
     trainer.register_hooks([ProfilerHook(trace_dir, start_iter=1, num_iters=2)])
     trainer.train(auto_resume=False)
     assert os.path.isdir(trace_dir) and len(os.listdir(trace_dir)) > 0
+    # the window must have produced an actually parseable trace: a
+    # TensorBoard-profile session dir with an .xplane.pb (always) and a
+    # chrome trace.json.gz that json-parses to events
+    import glob
+    import gzip
+    import json
+
+    xplanes = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.xplane.pb")
+    )
+    assert xplanes, f"no xplane.pb under {trace_dir}"
+    assert os.path.getsize(xplanes[0]) > 0
+    chrome = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz")
+    )
+    if chrome:  # present on CPU/TPU backends that export chrome traces
+        with gzip.open(chrome[0], "rt") as f:
+            trace = json.load(f)
+        assert trace.get("traceEvents"), "chrome trace has no events"

@@ -110,6 +110,70 @@ def test_warmup_schedule_matches_reference_semantics(warmup_mode):
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+@pytest.mark.parametrize("warmup_mode", ["fix", "factor", "auto"])
+def test_warmup_by_epoch_matches_reference_semantics(warmup_mode):
+    """Golden for the warmup_by_epoch=True branch (schedule.py:261-266)
+    against the reference's epoch-warmup state machine
+    (cpu/lr_scheduler.py:127-147) driven with a real torch StepLR inner:
+    iter_update is a no-op; epochs < warmup_t interpolate toward the
+    pre-stepped table; epoch == warmup_t lands on the table's last entry;
+    later epochs step the (already advanced) inner scheduler."""
+    base_lr, step_size, gamma = 1e-3, 2, 0.8
+    warmup_t, max_epochs = 3, 10  # warmup measured in EPOCHS here
+    warmup_init_lr, warmup_factor = 1e-5, 1e-4
+
+    # --- reference simulation (torch inner, reference call pattern) ---
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base_lr)
+    inner = torch.optim.lr_scheduler.StepLR(opt, step_size=step_size, gamma=gamma)
+    # _pre_compute_regular_lrs_per_t(max_t=warmup_t): inner stays advanced
+    regular = [base_lr]
+    for _ in range(warmup_t):
+        inner.step()
+        regular.append(opt.param_groups[0]["lr"])
+
+    def ref_warmup_lr(t, reg):
+        alpha = t / warmup_t
+        if warmup_mode == "fix":
+            return warmup_init_lr * (1 - alpha) + base_lr * alpha
+        if warmup_mode == "factor":
+            return reg * (warmup_factor * (1 - alpha) + alpha)
+        return base_lr * warmup_factor * (1 - alpha) + regular[-1] * alpha
+
+    lr = base_lr * warmup_factor if warmup_mode in ("factor", "auto") else warmup_init_lr
+    want = []
+    for epoch in range(max_epochs):
+        want.append(lr)  # lr used throughout this epoch
+        last_epoch = epoch + 1  # reference epoch_update
+        if last_epoch < warmup_t:
+            lr = ref_warmup_lr(last_epoch, regular[last_epoch])
+        elif last_epoch == warmup_t:
+            lr = regular[-1]
+        else:
+            inner.step()
+            lr = opt.param_groups[0]["lr"]
+
+    # --- ours ---
+    ours = LRWarmupSchedule(
+        StepLR(base_lr, step_size, gamma),
+        by_epoch=True,
+        warmup_t=warmup_t,
+        warmup_by_epoch=True,
+        warmup_mode=warmup_mode,
+        warmup_init_lr=warmup_init_lr,
+        warmup_factor=warmup_factor,
+    )
+    got = []
+    for epoch in range(max_epochs):
+        got.append(ours.get_lr())
+        for _ in range(5):
+            ours.iter_update()  # must be a no-op in epoch-warmup mode
+        ours.epoch_update()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # post-warmup regular phase really decays (the inner kept its advance)
+    assert got[-1] < got[warmup_t] < base_lr + 1e-12
+
+
 def test_no_warmup_steps_every_epoch():
     epoch_len = 10
     ours = LRWarmupSchedule(StepLR(1e-4, 1, 0.8), by_epoch=True, epoch_len=epoch_len)
