@@ -1,0 +1,332 @@
+#!/usr/bin/env python3
+"""Head-to-head: the torch reference vs tactilesr_tpu on IDENTICAL data.
+
+The strongest parity evidence available while the reference's real sensor
+blobs are missing (/root/reference/.MISSING_LARGE_BLOBS): generate one
+SRdataset (legacy object-``.npy`` readable by the reference's loader plus
+the ``.npz`` twin of the SAME samples), train the actual reference recipe
+(/root/reference/train/tactileSR_train.py:199-239, CPU torch) and this
+framework's ``sr_task.main`` on the same files with the same
+hyperparameters, and report both eval trajectories + the end-of-training
+PSNR/SSIM gap.
+
+Usage:
+    python scripts/head_to_head.py --workdir /tmp/h2h --epochs 15
+
+The reference runs in a subprocess (``--ref-worker``) so its import-time
+side effects (GPU probing, env mutation) stay contained; the GPU selector is
+stubbed to CPU before ``config.default`` imports it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EVAL_RE = r"==> \[test\] loss: ([-\d.naninf]+), SSIM: ([-\d.naninf]+), PSNR: ([-\d.naninf]+)"
+
+
+def _common_overrides(args) -> dict:
+    """The hyperparameters BOTH frameworks train with (identical recipes)."""
+    return dict(
+        train_batch_size=args.batch,
+        test_batch_size=8,
+        lr=args.lr,
+        weight_decay=1e-2,
+        lr_scheduler_step_size=2,
+        lr_scheduler_gamma=0.8,
+        scale_factor=args.scale_factor,
+        seqsCnt=1,
+        axisCnt=3,
+        patternFeatureExtraLayerCnt=args.pattern_layers,
+        forceFeatureExtraLayerCnt=1,
+        HR_scale_num=10,
+        sensorMaxVaule_factor=250,
+        warmup_t=args.warmup_t,
+        warmup_mode="auto",
+        warmup_init_lr=1e-5,
+        warmup_factor=1e-4,
+        epochs=args.epochs,
+        checkpoint_period=max(args.epochs - 1, 1),
+        inference_test=False,
+        random_seed=42,
+    )
+
+
+# --------------------------------------------------------------- reference
+def run_reference_worker(args) -> None:
+    """Subprocess body: drive the reference's own main() on our data."""
+    ref = args.reference
+    sys.path.insert(0, ref)
+    sys.path.insert(0, os.path.join(ref, "train"))
+
+    # stub the nvidia-smi GPU probe (config/default.py:101-104) to CPU
+    # BEFORE config.default executes its `from utility.tools import ...`
+    import utility.tools as ut  # noqa: E402
+
+    ut.select_gpu_with_least_used_memory = lambda: (0, "cpu", "cpu", 0)
+
+    import tactileSR_train as ref_train  # noqa: E402  (imports config.default)
+
+    cfg = dict(ref_train.tactileSR_config)
+    cfg.update(_common_overrides(args))
+    cfg.update(
+        train_dataset_dir=os.path.join(args.workdir, "data/SRdataset/SRdataset_train.npy"),
+        test_dataset_dir=os.path.join(args.workdir, "data/SRdataset/SRdataset_test.npy"),
+        save_dir=os.path.join(args.workdir, "ref_work"),
+    )
+
+    # capture the reference's per-epoch eval log lines
+    records: list[str] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logging.getLogger("cpu").addHandler(_Capture())
+
+    ref_train.main(cfg)
+
+    import re
+
+    traj = [
+        {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
+        for line in records
+        for m in [re.search(EVAL_RE, line)]
+        if m
+    ]
+
+    # shared-evaluator evidence: dump the trained reference model's test-set
+    # predictions (and its torch-made labels) so the parent can score BOTH
+    # frameworks with ONE metric implementation.  NB the reference's own
+    # logged PSNR is NOT comparable across frameworks: eval_func passes
+    # (C,H,W) tensors into calculationPSNR (train/tactileSR_train.py:90,
+    # utility/tools.py:59-60), whose divisor is shape[0]*shape[1] = C*H=40
+    # instead of H*W=1600 -- a constant -10*log10(40) = -16.02 dB offset on
+    # every logged value.
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    ckpt = torch.load(
+        os.path.join(cfg["save_dir"], "checkpoints", "latest.pth"),
+        map_location="cpu",
+        weights_only=False,
+    )
+    model = ref_train.TactileSR(
+        scale_factor=cfg["scale_factor"],
+        seqsCnt=cfg["seqsCnt"],
+        axisCnt=cfg["axisCnt"],
+        patternFeatureExtraLayerCnt=cfg["patternFeatureExtraLayerCnt"],
+        forceFeatureExtraLayerCnt=cfg["forceFeatureExtraLayerCnt"],
+    )
+    model.load_state_dict(ckpt["model"])
+    model.eval()
+    ds = ref_train.TactileSRDataset(cfg["test_dataset_dir"])
+    loader = ref_train.DataLoader(ds, batch_size=cfg["test_batch_size"], shuffle=False)
+    preds, labels = [], []
+    hw = 4 * cfg["scale_factor"]
+    with torch.no_grad():
+        for LR, HR in loader:
+            LR = LR.type(torch.float32)[:, : cfg["seqsCnt"] * cfg["axisCnt"]]
+            HR = HR.type(torch.float32) / cfg["HR_scale_num"]
+            HR = F.interpolate(HR, size=(hw, hw), mode="bilinear", align_corners=False)
+            preds.append(model(LR).numpy())
+            labels.append(HR.numpy())
+    np.savez(
+        os.path.join(args.workdir, "ref_preds.npz"),
+        SR=np.concatenate(preds),
+        HR=np.concatenate(labels),
+    )
+    print("H2H_REF " + json.dumps(traj), flush=True)
+
+
+# -------------------------------------------------------------------- ours
+def run_ours(args) -> list:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
+    sys.path.insert(0, REPO)
+    from tactilesr_tpu.config.default import tactileSR_config
+    from tactilesr_tpu.tasks.sr_task import main as sr_main
+
+    cfg = dict(tactileSR_config)
+    cfg.update(_common_overrides(args))
+    cfg.update(
+        # the same literal legacy files the reference trains on (our loader
+        # reads both formats)
+        train_dataset_dir=os.path.join(args.workdir, "data/SRdataset/SRdataset_train.npy"),
+        test_dataset_dir=os.path.join(args.workdir, "data/SRdataset/SRdataset_test.npy"),
+        save_dir=os.path.join(args.workdir, "tpu_work"),
+        compute_dtype="float32",  # reference trains f32 (no AMP wired)
+        data_parallel="off",  # single device, like the reference
+    )
+    trainer = sr_main(cfg)
+    storage = trainer.metric_storage
+    vals = {
+        k: storage[k].state_dict()["values"]
+        for k in ("test_loss", "test_SSIM", "test_PSNR")
+    }
+    traj = [
+        {"loss": l, "ssim": s, "psnr": p}
+        for l, s, p in zip(vals["test_loss"], vals["test_SSIM"], vals["test_PSNR"])
+    ]
+
+    # dump our trained model's predictions on the same test set for the
+    # shared evaluator
+    import numpy as np
+
+    from tactilesr_tpu.data.datasets import TactileSRDataset
+    from tactilesr_tpu.tasks.sr_task import prepare_sr_labels
+
+    lr_test, hr_test = TactileSRDataset(cfg["test_dataset_dir"]).stacked()
+    import jax.numpy as jnp
+
+    out = trainer.model_apply(
+        jnp.asarray(lr_test[:, : cfg["seqsCnt"] * cfg["axisCnt"]]), train=False
+    )
+    np.savez(
+        os.path.join(args.workdir, "tpu_preds.npz"),
+        SR=np.asarray(out),
+        HR=prepare_sr_labels(hr_test, cfg),
+    )
+    return traj
+
+
+def shared_eval(workdir: str) -> dict:
+    """Score both frameworks' predictions with ONE metric implementation
+    (ours, golden-tested against the reference formulas on (H,W) maps)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from tactilesr_tpu.metrics import batched_psnr, batched_ssim
+
+    out = {}
+    label_ref = None
+    for tag in ("ref", "tpu"):
+        with np.load(os.path.join(workdir, f"{tag}_preds.npz")) as z:
+            sr, hr = z["SR"], z["HR"]
+        if label_ref is None:
+            label_ref = hr
+        else:  # both frameworks must have scored against the same labels
+            np.testing.assert_allclose(hr, label_ref, rtol=1e-4, atol=1e-5)
+        ps = np.asarray(batched_psnr(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]), 250.0))
+        ss = np.asarray(batched_ssim(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0])))
+        mse = float(np.mean((sr - hr) ** 2))
+        out[tag] = {
+            "psnr": round(float(ps.mean()), 4),
+            "ssim": round(float(ss.mean()), 5),
+            "mse": round(mse, 5),
+        }
+    return out
+
+
+# -------------------------------------------------------------------- data
+def generate_shared_data(args) -> None:
+    """Synthetic raw -> brief tPSF fit -> one SRdataset in both formats."""
+    env = dict(os.environ)
+    env.update(TACTILESR_PLATFORM="cpu", TACTILESR_ROOT=args.workdir)
+    raw = os.path.join(args.workdir, "data/rotateDataset")
+    sr = os.path.join(args.workdir, "data/SRdataset")
+    run = lambda cmd: subprocess.run(cmd, env=env, check=True, cwd=REPO)
+    run(
+        [sys.executable, "-m", "tactilesr_tpu.data.generate", "synthetic",
+         "--out-dir", raw, "--names", "C", "I", "P", "--taps-per-blob", "81",
+         "--seqs", "24"]
+    )
+    run(
+        [sys.executable, "train/tPSFNet_train.py", "--epochs", "2",
+         "--sample_cnt", "4", "--train_batch_size", "64",
+         "--compute_dtype", "float32", "--inference_seqs_length", "12"]
+    )
+    run(
+        [sys.executable, "-m", "tactilesr_tpu.data.generate", "single",
+         "--tpsf-checkpoint",
+         os.path.join(args.workdir, "pth/tPSFNet_no_aug/checkpoints/latest.ckpt"),
+         "--raw-dir", raw, "--out-dir", sr,
+         "--sample-cnt", str(args.sample_cnt), "--legacy-npy"]
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="/tmp/tactilesr_h2h")
+    p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--scale-factor", type=int, default=10)
+    p.add_argument("--pattern-layers", type=int, default=6)
+    p.add_argument("--warmup-t", type=int, default=50)
+    p.add_argument("--sample-cnt", type=int, default=8)
+    p.add_argument("--skip-datagen", action="store_true")
+    p.add_argument("--ref-worker", action="store_true", help=argparse.SUPPRESS)
+    args = p.parse_args()
+
+    if args.ref_worker:
+        run_reference_worker(args)
+        return
+
+    os.makedirs(args.workdir, exist_ok=True)
+    if not args.skip_datagen:
+        generate_shared_data(args)
+
+    # reference first (subprocess), then ours in-process
+    ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
+    for k, v in vars(args).items():
+        if k in ("ref_worker", "skip_datagen") or v in (None, False):
+            continue
+        ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
+    out = subprocess.run(
+        ref_cmd, capture_output=True, text=True, cwd=args.workdir
+    )
+    sys.stderr.write(out.stderr[-2000:])
+    assert out.returncode == 0, f"reference run failed:\n{out.stdout[-3000:]}"
+    line = [l for l in out.stdout.splitlines() if l.startswith("H2H_REF ")]
+    ref_traj = json.loads(line[-1][len("H2H_REF "):])
+
+    ours_traj = run_ours(args)
+
+    n = min(len(ref_traj), len(ours_traj))
+    print(
+        "\n(ref's logged PSNR carries its eval quirk: calculationPSNR gets"
+        " (C,H,W) tensors -> divisor C*H=40, a constant -16.02 dB vs the"
+        " true per-map formula; 'shared eval' below scores both frameworks"
+        " with one implementation)"
+    )
+    print("epoch |   ref PSNR |  ours PSNR |  ref SSIM | ours SSIM |  ref loss | ours loss")
+    for e in range(n):
+        print(
+            f"{e:5d} | {ref_traj[e]['psnr']:10.3f} | {ours_traj[e]['psnr']:10.3f}"
+            f" | {ref_traj[e]['ssim']:9.4f} | {ours_traj[e]['ssim']:9.4f}"
+            f" | {ref_traj[e]['loss']:9.4f} | {ours_traj[e]['loss']:9.4f}"
+        )
+    final = shared_eval(args.workdir)
+    gap_psnr = final["tpu"]["psnr"] - final["ref"]["psnr"]
+    gap_ssim = final["tpu"]["ssim"] - final["ref"]["ssim"]
+    print(
+        "H2H_RESULT "
+        + json.dumps(
+            {
+                "epochs": n,
+                "ref_logged_final": ref_traj[n - 1],
+                "ours_logged_final": ours_traj[n - 1],
+                "shared_eval": final,
+                "psnr_gap_db": round(gap_psnr, 4),
+                "ssim_gap": round(gap_ssim, 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ from .datasets import (
     TactileSRDatasetSeq,
     TPSFNetDataset,
 )
-from .loader import DeviceData, HostLoader, epoch_batches
+from .loader import epoch_batches
 from .raw_process import (
     augment_rotations,
     binarize_depth,
@@ -33,8 +33,6 @@ __all__ = [
     "TactileSRDataset",
     "TactileSRDatasetSeq",
     "SingleTapSeqsDataset",
-    "HostLoader",
-    "DeviceData",
     "epoch_batches",
     "extract_contact_seqs",
     "binarize_depth",

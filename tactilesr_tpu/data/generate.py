@@ -106,10 +106,16 @@ def _save_split(
     os.makedirs(out_dir, exist_ok=True)
     np.savez(os.path.join(out_dir, name + ".npz"), **arrays)
     if legacy:
+        # reference schema: array of SINGLETON OBJECT ARRAYS, so that
+        # ``dataset[idx].item()['LR']`` works with the reference's loader
+        # (utility/load_tactile_dataset.py:39-45) -- a plain list element
+        # has no .item()
         n = arrays["LR"].shape[0]
         rows = np.empty(n, dtype=object)
         for i in range(n):
-            rows[i] = [{k: v[i] for k, v in arrays.items()}]
+            row = np.empty(1, dtype=object)
+            row[0] = {k: v[i] for k, v in arrays.items()}
+            rows[i] = row
         np.save(os.path.join(out_dir, name + ".npy"), rows, allow_pickle=True)
     logger.info("saved %s: %d samples", name, arrays["LR"].shape[0])
 

@@ -1,11 +1,11 @@
-"""Batching: a host-side loader (torch-DataLoader-shaped) and the TPU-native
-device-resident pipeline.
+"""Batching: the single data API of the TPU-native pipeline.
 
-The TPU path (``DeviceData``): the entire (small) dataset is device_put into
-HBM once, sharded along the batch axis of the mesh; each step receives a
-batch of *indices* and gathers rows inside the jitted step.  No host<->device
-copies per iteration, no host collate -- this replaces the reference's
-per-iter ``.to(device)`` (train/tactileSR_train.py:43) entirely.
+``epoch_batches`` yields (index, mask) pairs per epoch; the entire (small)
+dataset is placed into HBM once by the Trainer (replicated over the mesh via
+``parallel.mesh.put_global``) and each jitted step gathers its batch rows
+on-device by index.  No host<->device copies per iteration, no host collate
+-- this replaces the reference's per-iter DataLoader + ``.to(device)``
+(train/tactileSR_train.py:43) entirely.
 
 Partial final batches are padded to the fixed batch size and carry a
 ``mask`` so compiled shapes stay static while loss/metrics stay exact
@@ -15,13 +15,11 @@ Partial final batches are padded to the fixed batch size and carry a
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HostLoader", "DeviceData", "epoch_batches"]
+__all__ = ["epoch_batches"]
 
 
 def epoch_batches(
@@ -45,67 +43,3 @@ def epoch_batches(
             idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
             mask = np.concatenate([mask, np.zeros(pad, np.float32)])
         yield idx, mask
-
-
-class HostLoader:
-    """Minimal epoch iterator over stacked arrays, yielding numpy batches.
-
-    Matches the access pattern of the reference's DataLoader usage (shuffle
-    per epoch, stable order when shuffle=False).  ``__len__`` is the number
-    of batches per epoch (drop_last=False).
-    """
-
-    def __init__(
-        self,
-        arrays: Tuple[np.ndarray, ...],
-        batch_size: int,
-        shuffle: bool = False,
-        seed: int = 0,
-        drop_last: bool = False,
-    ):
-        assert len({a.shape[0] for a in arrays}) == 1, "arrays must align"
-        self.arrays = arrays
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
-        self.n = arrays[0].shape[0]
-
-    def __len__(self):
-        return (
-            self.n // self.batch_size
-            if self.drop_last
-            else math.ceil(self.n / self.batch_size)
-        )
-
-    def __iter__(self):
-        for idx, mask in epoch_batches(
-            self.n, self.batch_size, self.shuffle, self._rng, self.drop_last
-        ):
-            yield tuple(a[idx] for a in self.arrays) + (mask,)
-
-
-class DeviceData:
-    """HBM-resident dataset with on-device gather batching.
-
-    ``put`` uploads stacked arrays once (replicated, or sharded along the
-    mesh 'data' axis when a sharding is given).  ``gather(arrays, idx)`` is
-    meant to run *inside* jit: ``jnp.take`` of the batch rows.
-    """
-
-    def __init__(self, arrays: Dict[str, np.ndarray], sharding=None):
-        self.n = next(iter(arrays.values())).shape[0]
-        if sharding is not None:
-            self.arrays = {
-                k: jax.device_put(v, sharding) for k, v in arrays.items()
-            }
-        else:
-            self.arrays = {k: jax.device_put(v) for k, v in arrays.items()}
-
-    @staticmethod
-    def take(array, idx):
-        return jnp.take(array, idx, axis=0)
-
-    def batch(self, idx):
-        """Host-callable convenience (still lazy): dict of gathered rows."""
-        return {k: self.take(v, idx) for k, v in self.arrays.items()}

@@ -32,6 +32,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch_size",
+    "put_global",
     "resolve_mesh",
     "resolve_mesh_from_config",
 ]
@@ -73,6 +74,37 @@ def shard_batch_size(batch_size: int, mesh: Mesh) -> int:
         f"size {ndata}"
     )
     return batch_size // ndata
+
+
+def put_global(tree, sharding: Optional[NamedSharding]):
+    """Place a host pytree under a sharding, correctly for ANY process count.
+
+    Single-process: plain ``jax.device_put``.  Multi-process (a mesh spanning
+    processes, so some devices are non-addressable): ``device_put`` of a host
+    value onto a NamedSharding is NOT the multihost global-array construction
+    -- each process must instead contribute the data for its own addressable
+    shards.  ``jax.make_array_from_callback`` does exactly that, for
+    replicated and sharded layouts alike, under one precondition that this
+    framework upholds everywhere: every process passes the SAME host value
+    (datasets load from the same files on every process, batch indices derive
+    from the shared config seed, and checkpoints are read by all processes).
+
+    Replaces the reference's DDP broadcast-from-rank-0 model placement
+    (cpu/trainer.py:171-176 relies on torch DDP construction) with the
+    single-controller JAX equivalent.
+    """
+    if sharding is None:
+        return jax.device_put(tree)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def one(x):
+        a = np.asarray(x)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
+
+    return jax.tree_util.tree_map(one, tree)
 
 
 def resolve_mesh(

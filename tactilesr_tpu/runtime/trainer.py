@@ -44,7 +44,12 @@ import optax
 from flax import serialization, struct
 
 from ..parallel.dist import get_world_size, is_main_process
-from ..parallel.mesh import batch_sharding, replicated_sharding, shard_batch_size
+from ..parallel.mesh import (
+    batch_sharding,
+    put_global,
+    replicated_sharding,
+    shard_batch_size,
+)
 from .checkpoint import (
     CheckpointManager,
     load_checkpoint_file,
@@ -129,6 +134,8 @@ class Trainer:
         self.start_iter = 0
 
         # --- device placement: data replicated, state replicated
+        # (put_global builds proper global arrays when the mesh spans
+        # processes; plain device_put otherwise)
         if mesh is not None:
             # fail here with a clear message instead of inside XLA's
             # sharding propagation (every epoch batch is padded to the full
@@ -136,11 +143,10 @@ class Trainer:
             shard_batch_size(batch_size, mesh)
             self._repl = replicated_sharding(mesh)
             self._bshard = batch_sharding(mesh)
-            put = lambda x: jax.device_put(x, self._repl)
         else:
             self._repl = None
             self._bshard = None
-            put = jax.device_put
+        put = lambda x: put_global(x, self._repl)
         self.device_arrays = {k: put(np.asarray(v)) for k, v in train_arrays.items()}
         self.state = TrainState(
             params=put(variables["params"]),
@@ -334,18 +340,21 @@ class Trainer:
         base_iter = self.cur_iter
         lrs = self._epoch_lrs(steps)
 
-        idxs_j = jnp.asarray(idxs)
-        masks_j = jnp.asarray(masks)
         if self._bshard is not None:
             # shard the per-step batch axis (axis 1) over the data axis
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             step_shard = NamedSharding(self.mesh, P(None, "data"))
-            idxs_j = jax.device_put(idxs_j, step_shard)
-            masks_j = jax.device_put(masks_j, step_shard)
+            idxs_j = put_global(idxs, step_shard)
+            masks_j = put_global(masks, step_shard)
+        else:
+            idxs_j = jnp.asarray(idxs)
+            masks_j = jnp.asarray(masks)
 
         self.state, loss_stack = self._epoch_scan(
-            self.state, self.device_arrays, idxs_j, masks_j, jnp.asarray(lrs)
+            # lrs stays a host numpy array: jit replicates uncommitted inputs
+            # over the (possibly multi-process) mesh itself
+            self.state, self.device_arrays, idxs_j, masks_j, lrs
         )
         fetched = jax.device_get(loss_stack)  # blocks until the scan finishes
         per_step = (time.perf_counter() - epoch_start) / steps
@@ -369,11 +378,12 @@ class Trainer:
     def train_one_iter(self, idx: np.ndarray, mask: np.ndarray) -> None:
         iter_start = time.perf_counter()
         start = time.perf_counter()
-        idx = jnp.asarray(idx)
-        mask = jnp.asarray(mask)
         if self._bshard is not None:
-            idx = jax.device_put(idx, self._bshard)
-            mask = jax.device_put(mask, self._bshard)
+            idx = put_global(idx, self._bshard)
+            mask = put_global(mask, self._bshard)
+        else:
+            idx = jnp.asarray(idx)
+            mask = jnp.asarray(mask)
         data_time = time.perf_counter() - start
 
         lr = float(self.lr)
@@ -543,7 +553,7 @@ class Trainer:
         opt_state = serialization.from_state_dict(
             self.state.opt_state, bundle["optimizer"]
         )
-        put = (lambda x: jax.device_put(x, self._repl)) if self._repl else jax.device_put
+        put = lambda x: put_global(x, self._repl)
         self.state = TrainState(
             params=put(params),
             batch_stats=put(batch_stats),
@@ -570,9 +580,19 @@ class Trainer:
 
     # ----------------------------------------------------------- inference
     def model_apply(self, batch_input, train: bool = False, **kwargs):
-        """Eval-mode forward with the current variables (host convenience)."""
+        """Eval-mode forward with the current variables (host convenience).
+
+        Under a multi-process mesh the state lives on non-addressable
+        devices, where eager (non-jit) ops are not allowed; the replicated
+        state is fetched to host first (a local copy, no collective) and the
+        forward runs on the process's default device."""
         variables = {"params": self.state.params}
         bs = self.state.batch_stats
         if bs:
             variables["batch_stats"] = bs
+        leaves = jax.tree_util.tree_leaves(variables)
+        if any(
+            not getattr(leaf, "is_fully_addressable", True) for leaf in leaves
+        ):
+            variables = jax.device_get(variables)
         return self.model.apply(variables, batch_input, train=train, **kwargs)

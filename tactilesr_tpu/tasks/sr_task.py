@@ -134,21 +134,24 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
     mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
     lr_pad = np.concatenate([lr_all, np.zeros((pad,) + lr_all.shape[1:], lr_all.dtype)])
     hr_pad = np.concatenate([hr_all, np.zeros((pad,) + hr_all.shape[1:], hr_all.dtype)])
-    lr_b = jnp.asarray(lr_pad.reshape(nb, bs, *lr_all.shape[1:]))
-    hr_b = jnp.asarray(hr_pad.reshape(nb, bs, *hr_all.shape[1:]))
-    mask_b = jnp.asarray(mask.reshape(nb, bs))
+    lr_b = lr_pad.reshape(nb, bs, *lr_all.shape[1:])
+    hr_b = hr_pad.reshape(nb, bs, *hr_all.shape[1:])
+    mask_b = mask.reshape(nb, bs)
     mesh = trainer.mesh
     if mesh is not None:
         # shard each lax.map step's batch axis (axis 1) over the data axis so
-        # evaluation uses the whole mesh, not one device
+        # evaluation uses the whole mesh, not one device (put_global handles
+        # meshes spanning processes)
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import put_global
 
         ndata = mesh.shape["data"]
         if bs % ndata == 0:
             eval_shard = NamedSharding(mesh, P(None, "data"))
-            lr_b = jax.device_put(lr_b, eval_shard)
-            hr_b = jax.device_put(hr_b, eval_shard)
-            mask_b = jax.device_put(mask_b, eval_shard)
+            lr_b = put_global(lr_b, eval_shard)
+            hr_b = put_global(hr_b, eval_shard)
+            mask_b = put_global(mask_b, eval_shard)
         else:
             logger.warning(
                 "test_batch_size %d not divisible by the %d-device data axis; "
@@ -157,8 +160,10 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
                 ndata,
             )
 
+    # global (possibly multi-process) arrays must be jit ARGUMENTS, not
+    # closure captures -- XLA cannot constant-fold non-addressable data
     @jax.jit
-    def eval_all(params, batch_stats):
+    def eval_all(params, batch_stats, lr_b, hr_b, mask_b):
         def per_batch(args):
             lrb, hr, mb = args
             out = model.apply(
@@ -185,7 +190,9 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
 
     def eval_func() -> Dict[str, float]:
         mse, psnr_v, ssim_v = jax.device_get(
-            eval_all(trainer.state.params, trainer.state.batch_stats)
+            eval_all(
+                trainer.state.params, trainer.state.batch_stats, lr_b, hr_b, mask_b
+            )
         )
         logger.info(
             "==> [test] loss: %.4f, SSIM: %.4f, PSNR: %.4f",
@@ -376,7 +383,10 @@ def main(
     test_arrays = {"LR": lr_test, "HR": hr_test}
     trainer.register_hooks([EvalHook(1, build_eval_fn(trainer, test_arrays))])
     if config.get("inference_test"):
-        trainer.register_hooks([InferenceHookSR(test_arrays, config)])
+        from ..parallel.dist import is_main_process
+
+        if is_main_process():  # PNG artifacts write once, like ckpts/logs
+            trainer.register_hooks([InferenceHookSR(test_arrays, config)])
 
     trainer.train(auto_resume=auto_resume)
     return trainer

@@ -105,8 +105,10 @@ def build_eval_fn(trainer: TPSFTrainer, test_arrays: Dict[str, np.ndarray]):
     # only the first sample of each test batch is scored (incl. the final
     # partial batch), matching the reference's eval loop
     firsts = np.arange(0, n, bs)
-    lr_f = jnp.asarray(lr_all[firsts])
-    depth_f = jnp.asarray(depth_all[firsts])
+    # host numpy (uncommitted): jit replicates them over whatever mesh the
+    # params live on, including multi-process meshes
+    lr_f = np.asarray(lr_all[firsts])
+    depth_f = np.asarray(depth_all[firsts])
 
     @jax.jit
     def eval_all(params):
@@ -142,12 +144,11 @@ class InferenceHookTPSF(HookBase):
         self._seqs = (seq_arrays_1, seq_arrays_2)
         self._scale = scale_num
 
-    def _curves(self, arrays):
-        t = self.trainer
+    def _curves(self, arrays, model, params):
         lr = jnp.asarray(arrays["LR"], jnp.float32) / self._scale
         depth = jnp.asarray(arrays["depth"])[:, None]
-        _hr, _deg, _psf, ab = t.model.apply(
-            {"params": t.state.params}, lr, depth, return_psf=False
+        _hr, _deg, _psf, ab = model.apply(
+            {"params": params}, lr, depth, return_psf=False
         )
         ab = np.asarray(ab[:, 0])
         force = np.asarray(lr[:, 2].sum(axis=(1, 2)))
@@ -159,12 +160,24 @@ class InferenceHookTPSF(HookBase):
         os.makedirs(out_dir, exist_ok=True)
         self.render(os.path.join(out_dir, f"epoch_{t.cur_epoch}.png"))
 
-    def render(self, save_name: str) -> None:
+    def render(self, save_name: str, model=None, params=None) -> None:
+        """Render the curves PNG.  Inside training the hook reads the live
+        trainer; standalone callers (``inspect_checkpoint``) pass an explicit
+        (model, params) pair instead -- no trainer required."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.gridspec as gridspec
         import matplotlib.pyplot as plt
+
+        if model is None:
+            t = self.trainer
+            model, params = t.model, t.state.params
+        if any(
+            not getattr(leaf, "is_fully_addressable", True)
+            for leaf in jax.tree_util.tree_leaves(params)
+        ):  # multi-process mesh: eager apply needs a host-local copy
+            params = jax.device_get(params)
 
         fig = plt.figure(figsize=(10, 6), tight_layout=True)
         gs = gridspec.GridSpec(2, 4)
@@ -176,7 +189,7 @@ class InferenceHookTPSF(HookBase):
         for k, (arrays, color, axd) in enumerate(
             zip(self._seqs, ("red", "blue"), (ax3, ax4))
         ):
-            force, alpha, beta = self._curves(arrays)
+            force, alpha, beta = self._curves(arrays, model, params)
             ax1.plot(force, alpha, color=color, label=rf"pattern{k+1}_$\alpha$")
             ax2.plot(force, beta, "--", color=color, label=rf"pattern{k+1}_$\beta$")
             axd.imshow(np.asarray(arrays["depth"][-1]))
@@ -278,9 +291,12 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
             lr_s, depth_s = ds.stacked()
             seq_arrays.append({"LR": lr_s, "depth": depth_s})
         if seq_arrays:
-            trainer.register_hooks(
-                [InferenceHookTPSF(*seq_arrays, scale_num=config["scale_num"])]
-            )
+            from ..parallel.dist import is_main_process
+
+            if is_main_process():  # PNG artifacts write once, like ckpts
+                trainer.register_hooks(
+                    [InferenceHookTPSF(*seq_arrays, scale_num=config["scale_num"])]
+                )
 
     trainer.train(auto_resume=False)
     return trainer
@@ -308,20 +324,7 @@ def inspect_checkpoint(config, checkpoint_path: str, save_name: str = "out.png")
         lr_s, depth_s = ds.stacked()
         seq_arrays.append({"LR": lr_s, "depth": depth_s})
 
-    class _Shim:
-        pass
-
     hook = InferenceHookTPSF(*seq_arrays, scale_num=config["scale_num"])
-    shim = _Shim()
-    shim.model = model
-
-    class _State:
-        pass
-
-    st = _State()
-    st.params = params
-    shim.state = st
-    hook.trainer = shim
-    hook.render(save_name)
+    hook.render(save_name, model=model, params=params)
     logger.info("wrote %s", save_name)
     return save_name

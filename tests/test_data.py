@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from tactilesr_tpu.data import (
-    HostLoader,
     SingleTapSeqsDataset,
     TactileSRDataset,
     TPSFNetDataset,
@@ -147,15 +146,13 @@ def test_epoch_batches_padding_and_mask():
     assert len(list(epoch_batches(10, 4, shuffle=False, drop_last=True))) == 2
 
 
-def test_host_loader_shuffles_deterministically(rng):
-    a = np.arange(10)[:, None].astype(np.float32)
-    l1 = HostLoader((a,), batch_size=4, shuffle=True, seed=7)
-    l2 = HostLoader((a,), batch_size=4, shuffle=True, seed=7)
-    b1 = [x for (x, m) in l1]
-    b2 = [x for (x, m) in l2]
-    for x, y in zip(b1, b2):
-        np.testing.assert_array_equal(x, y)
-    assert len(l1) == 3
+def test_epoch_batches_shuffles_deterministically():
+    r1 = list(epoch_batches(10, 4, shuffle=True, rng=np.random.default_rng(7)))
+    r2 = list(epoch_batches(10, 4, shuffle=True, rng=np.random.default_rng(7)))
+    for (i1, m1), (i2, m2) in zip(r1, r2):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(m1, m2)
+    assert len(r1) == 3
 
 
 def test_load_seq_dataset_sr(tmp_path):

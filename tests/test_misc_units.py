@@ -1,5 +1,5 @@
-"""Small remaining units: DeviceData residency, dist helpers (single-process
-identities), env report, platform forcing, serving error paths."""
+"""Small remaining units: dist helpers (single-process identities), env
+report, platform forcing, serving error paths."""
 
 import numpy as np
 import pytest
@@ -7,7 +7,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tactilesr_tpu.data.loader import DeviceData
 from tactilesr_tpu.parallel import (
     all_gather_object,
     get_rank,
@@ -17,19 +16,6 @@ from tactilesr_tpu.parallel import (
     reduce_dict,
 )
 from tactilesr_tpu.runtime.misc import collect_env, set_random_seed
-
-
-def test_device_data_gather(rng):
-    arrays = {
-        "a": rng.random((10, 3)).astype(np.float32),
-        "b": rng.random((10, 4, 4)).astype(np.float32),
-    }
-    dd = DeviceData(arrays)
-    assert dd.n == 10
-    idx = jnp.asarray([2, 5, 7])
-    batch = dd.batch(idx)
-    np.testing.assert_allclose(np.asarray(batch["a"]), arrays["a"][[2, 5, 7]])
-    assert isinstance(dd.arrays["a"], jax.Array)
 
 
 def test_dist_single_process_identities():

@@ -134,6 +134,14 @@ def test_generate_and_train_sr(pipeline_dirs, tpsf_ckpt):
     legacy = TactileSRDataset(paths["train"].replace(".npz", ".npy"))
     fast = TactileSRDataset(paths["train"])
     np.testing.assert_allclose(legacy.stacked()[0], fast.stacked()[0], rtol=1e-6)
+    # and the legacy file must be readable with the REFERENCE's exact access
+    # pattern (utility/load_tactile_dataset.py:44: dataset[idx].item()['LR'])
+    raw = np.load(paths["train"].replace(".npz", ".npy"), allow_pickle=True)
+    rec = raw[0].item()
+    assert isinstance(rec, dict)
+    np.testing.assert_allclose(
+        np.ascontiguousarray(rec["LR"]), fast.stacked()[0][0], rtol=1e-6
+    )
 
     cfg = dict(tactileSR_config)
     cfg.update(
