@@ -61,6 +61,10 @@ def init_distributed(
        detection derives coordinator/rank/world from the SLURM env;
     4. otherwise: single process.
     """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        # idempotent: the entry scripts call this unconditionally, and a
+        # launcher (or test worker) may have initialized the cluster already
+        return jax.process_index()
     env = os.environ
     if num_processes is None and env.get("TACTILESR_NUM_PROCESSES"):
         coordinator_address = coordinator_address or env.get("TACTILESR_COORDINATOR")

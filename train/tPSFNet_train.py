@@ -16,6 +16,12 @@ import tactilesr_tpu
 
 tactilesr_tpu.maybe_force_platform()
 
+from tactilesr_tpu.parallel import init_distributed
+
+# multi-host bootstrap: no-op single-host; TACTILESR_*/SLURM env derive
+# the cluster otherwise (parallel/dist.py)
+init_distributed()
+
 from tactilesr_tpu.config import ConfigArgumentParser, tPSFNet_config
 from tactilesr_tpu.config.parser import add_config_args, apply_overrides
 from tactilesr_tpu.tasks.tpsf_task import main
