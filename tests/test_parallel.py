@@ -154,3 +154,25 @@ def test_scan_epochs_under_mesh(tmp_path, rng):
     assert np.isfinite(t.metric_storage["total_loss"].latest)
     leaf = jax.tree_util.tree_leaves(t.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_put_global_matches_device_put_single_process():
+    """put_global must be value- and sharding-equivalent to device_put in the
+    single-process case (the multi-process construction is exercised by the
+    real 2-process cluster in test_dist_multiprocess)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tactilesr_tpu.parallel.mesh import batch_sharding, put_global, replicated_sharding
+
+    mesh = make_mesh()
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    for sh in (replicated_sharding(mesh), batch_sharding(mesh), NamedSharding(mesh, P(None, "data"))):
+        a = put_global(x, sh)
+        b = jax.device_put(x, sh)
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # pytree + no-sharding fallthrough
+    tree = put_global({"w": x, "b": np.float32(2.0)}, replicated_sharding(mesh))
+    assert jax.tree_util.tree_leaves(tree)[0].sharding.is_fully_replicated
+    none_case = put_global(x, None)
+    np.testing.assert_array_equal(np.asarray(none_case), x)
