@@ -153,6 +153,14 @@ def run_ours(args) -> list:
 
     jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
     sys.path.insert(0, REPO)
+    if jax.default_backend() not in ("cpu",):
+        # tunneled TPUs can be wedged by previously killed clients; drain
+        # before dispatching anything (see bench.py)
+        import jax.numpy as jnp
+
+        import bench
+
+        bench.wait_for_quiet(jnp, jax)
     from tactilesr_tpu.config.default import tactileSR_config
     from tactilesr_tpu.tasks.sr_task import main as sr_main
 
@@ -269,6 +277,12 @@ def main() -> None:
     p.add_argument("--warmup-t", type=int, default=50)
     p.add_argument("--sample-cnt", type=int, default=8)
     p.add_argument("--skip-datagen", action="store_true")
+    p.add_argument(
+        "--skip-ref",
+        action="store_true",
+        help="reuse an existing ref_preds.npz + ref_work log instead of "
+        "re-training the reference (e.g. to re-run only our side)",
+    )
     p.add_argument("--ref-worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
 
@@ -281,18 +295,34 @@ def main() -> None:
         generate_shared_data(args)
 
     # reference first (subprocess), then ours in-process
-    ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
-    for k, v in vars(args).items():
-        if k in ("ref_worker", "skip_datagen") or v in (None, False):
-            continue
-        ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
-    out = subprocess.run(
-        ref_cmd, capture_output=True, text=True, cwd=args.workdir
-    )
-    sys.stderr.write(out.stderr[-2000:])
-    assert out.returncode == 0, f"reference run failed:\n{out.stdout[-3000:]}"
-    line = [l for l in out.stdout.splitlines() if l.startswith("H2H_REF ")]
-    ref_traj = json.loads(line[-1][len("H2H_REF "):])
+    if args.skip_ref:
+        import re
+
+        log_path = os.path.join(args.workdir, "ref_work", "log_rank0.txt")
+        with open(log_path) as f:
+            text = f.read()
+        # only the final training run in the log (earlier aborted runs may
+        # have appended eval lines too)
+        text = text.rsplit("Start training from iteration 0", 1)[-1]
+        ref_traj = [
+            {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
+            for m in re.finditer(EVAL_RE, text)
+        ]
+        assert ref_traj, f"no eval lines found in {log_path}"
+        assert os.path.exists(os.path.join(args.workdir, "ref_preds.npz"))
+    else:
+        ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
+        for k, v in vars(args).items():
+            if k in ("ref_worker", "skip_datagen", "skip_ref") or v in (None, False):
+                continue
+            ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
+        out = subprocess.run(
+            ref_cmd, capture_output=True, text=True, cwd=args.workdir
+        )
+        sys.stderr.write(out.stderr[-2000:])
+        assert out.returncode == 0, f"reference run failed:\n{out.stdout[-3000:]}"
+        line = [l for l in out.stdout.splitlines() if l.startswith("H2H_REF ")]
+        ref_traj = json.loads(line[-1][len("H2H_REF "):])
 
     ours_traj = run_ours(args)
 
