@@ -55,7 +55,7 @@ def _common_overrides(args) -> dict:
         epochs=args.epochs,
         checkpoint_period=max(args.epochs - 1, 1),
         inference_test=False,
-        random_seed=42,
+        random_seed=args.seed,
     )
 
 
@@ -171,7 +171,7 @@ def run_ours(args) -> list:
         # reads both formats)
         train_dataset_dir=os.path.join(args.workdir, "data/SRdataset/SRdataset_train.npy"),
         test_dataset_dir=os.path.join(args.workdir, "data/SRdataset/SRdataset_test.npy"),
-        save_dir=os.path.join(args.workdir, "tpu_work"),
+        save_dir=os.path.join(args.workdir, f"{args.preds_tag}_work"),
         compute_dtype="float32",  # reference trains f32 (no AMP wired)
         data_parallel="off",  # single device, like the reference
     )
@@ -200,7 +200,7 @@ def run_ours(args) -> list:
         jnp.asarray(lr_test[:, : cfg["seqsCnt"] * cfg["axisCnt"]]), train=False
     )
     np.savez(
-        os.path.join(args.workdir, "tpu_preds.npz"),
+        os.path.join(args.workdir, f"{args.preds_tag}_preds.npz"),
         SR=np.asarray(out),
         HR=prepare_sr_labels(hr_test, cfg),
     )
@@ -276,6 +276,20 @@ def main() -> None:
     p.add_argument("--pattern-layers", type=int, default=6)
     p.add_argument("--warmup-t", type=int, default=50)
     p.add_argument("--sample-cnt", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--ours-only",
+        action="store_true",
+        help="train only our side and print its trajectory + dump "
+        "tpu_preds.npz (for seed-spread studies; no reference, no "
+        "comparison)",
+    )
+    p.add_argument(
+        "--preds-tag",
+        default="tpu",
+        help="basename prefix for the predictions dump (ours-only runs "
+        "with several seeds use distinct tags)",
+    )
     p.add_argument("--skip-datagen", action="store_true")
     p.add_argument(
         "--skip-ref",
@@ -293,6 +307,11 @@ def main() -> None:
     os.makedirs(args.workdir, exist_ok=True)
     if not args.skip_datagen:
         generate_shared_data(args)
+
+    if args.ours_only:
+        traj = run_ours(args)
+        print("H2H_OURS " + json.dumps({"seed": args.seed, "traj": traj}))
+        return
 
     # reference first (subprocess), then ours in-process
     if args.skip_ref:
