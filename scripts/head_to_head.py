@@ -174,6 +174,11 @@ def run_ours(args) -> list:
         save_dir=os.path.join(args.workdir, f"{args.preds_tag}_work"),
         compute_dtype="float32",  # reference trains f32 (no AMP wired)
         data_parallel="off",  # single device, like the reference
+        # the torch-CPU reference computes TRUE f32 convolutions; on TPU
+        # the default lowers f32 contractions to one bf16 MXU pass, which
+        # visibly changes convergence on this small-data recipe -- pin the
+        # parity-grade precision
+        matmul_precision=args.matmul_precision,
     )
     trainer = sr_main(cfg)
     storage = trainer.metric_storage
@@ -277,6 +282,7 @@ def main() -> None:
     p.add_argument("--warmup-t", type=int, default=50)
     p.add_argument("--sample-cnt", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--matmul-precision", default="highest")
     p.add_argument(
         "--ours-only",
         action="store_true",

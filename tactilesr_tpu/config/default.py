@@ -41,6 +41,12 @@ common_config = {
     # the batch size divides over (single device -> no mesh), "off" disables,
     # an integer requests exactly N devices.  See parallel/mesh.py.
     "data_parallel": "auto",
+    # jax matmul/conv precision for f32 operands.  On TPU the "default"
+    # lowers f32 contractions to ONE bf16 MXU pass -- fast, and fine for
+    # the recipes (which train bf16 anyway via compute_dtype).  Set
+    # "highest" (6-pass) or "high" (3-pass) when float32 parity with a
+    # CPU/GPU reference matters, e.g. scripts/head_to_head.py.
+    "matmul_precision": "default",
 }
 
 # ---------------------------------------------------------------- tPSFNet

@@ -300,6 +300,9 @@ def main(
     setup_logger("tactilesr_tpu")  # console from the first line; file handler
     # attaches when the trainer knows the work dir
     set_random_seed(config["random_seed"], config["deterministic"])
+    prec = config.get("matmul_precision", "default")
+    if prec and prec != "default":
+        jax.config.update("jax_default_matmul_precision", prec)
 
     if mesh is None:
         from ..parallel.mesh import resolve_mesh_from_config

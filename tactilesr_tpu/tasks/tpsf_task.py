@@ -208,6 +208,9 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
 
     setup_logger("tactilesr_tpu")
     set_random_seed(config["random_seed"], config["deterministic"])
+    prec = config.get("matmul_precision", "default")
+    if prec and prec != "default":
+        jax.config.update("jax_default_matmul_precision", prec)
 
     if mesh is None:
         from ..parallel.mesh import resolve_mesh_from_config
