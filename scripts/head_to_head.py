@@ -306,6 +306,10 @@ def main() -> None:
     p.add_argument("--ref-worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
 
+    # absolute: the ref worker runs with cwd=workdir, so a relative path
+    # would resolve to workdir/workdir/... inside it
+    args.workdir = os.path.abspath(args.workdir)
+
     if args.ref_worker:
         run_reference_worker(args)
         return
@@ -338,7 +342,12 @@ def main() -> None:
     else:
         ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
         for k, v in vars(args).items():
-            if k in ("ref_worker", "skip_datagen", "skip_ref") or v in (None, False):
+            # NB identity checks: `0 in (None, False)` is True (0 == False),
+            # which would silently drop --seed 0 / --warmup-t 0 and train the
+            # two sides with different recipes
+            if k in ("ref_worker", "skip_datagen", "skip_ref", "ours_only") or (
+                v is None or v is False
+            ):
                 continue
             ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
         out = subprocess.run(
@@ -352,11 +361,15 @@ def main() -> None:
     ours_traj = run_ours(args)
 
     n = min(len(ref_traj), len(ours_traj))
+    import math
+
+    hw = 4 * args.scale_factor
+    offset_db = 10 * math.log10(hw)  # divisor C*H vs the true H*W
     print(
         "\n(ref's logged PSNR carries its eval quirk: calculationPSNR gets"
-        " (C,H,W) tensors -> divisor C*H=40, a constant -16.02 dB vs the"
-        " true per-map formula; 'shared eval' below scores both frameworks"
-        " with one implementation)"
+        f" (C,H,W) tensors -> divisor C*H={hw}, a constant -{offset_db:.2f} dB"
+        " vs the true per-map formula; 'shared eval' below scores both"
+        " frameworks with one implementation)"
     )
     print("epoch |   ref PSNR |  ours PSNR |  ref SSIM | ours SSIM |  ref loss | ours loss")
     for e in range(n):

@@ -33,6 +33,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch_size",
     "put_global",
+    "host_local_copy",
     "resolve_mesh",
     "resolve_mesh_from_config",
 ]
@@ -105,6 +106,19 @@ def put_global(tree, sharding: Optional[NamedSharding]):
         )
 
     return jax.tree_util.tree_map(one, tree)
+
+
+def host_local_copy(tree):
+    """A host (or process-local) copy of a pytree safe for EAGER ops.
+
+    Under a multi-process mesh, state lives on non-addressable devices where
+    eager (non-jit) computation is disallowed; fetching the (replicated)
+    values to host is process-local -- no collective.  Single-process trees
+    pass through untouched."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if any(not getattr(leaf, "is_fully_addressable", True) for leaf in leaves):
+        return jax.device_get(tree)
+    return tree
 
 
 def resolve_mesh(

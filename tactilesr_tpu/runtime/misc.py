@@ -13,7 +13,24 @@ import sys
 
 import numpy as np
 
-__all__ = ["collect_env", "set_random_seed"]
+__all__ = ["collect_env", "set_random_seed", "apply_matmul_precision"]
+
+
+def apply_matmul_precision(config) -> None:
+    """Apply the ``matmul_precision`` config key to jax's global flag.
+
+    Always sets the flag ("default" maps back to jax's unset state, None) so
+    consecutive runs in one process cannot inherit a previous run's
+    override.  On TPU, "default" lowers f32 contractions to one bf16 MXU
+    pass; "highest" computes true f32 (6 passes) -- required when comparing
+    float32 training against a CPU/GPU reference (scripts/head_to_head.py).
+    """
+    import jax
+
+    prec = config.get("matmul_precision", "default")
+    jax.config.update(
+        "jax_default_matmul_precision", None if prec in (None, "default") else prec
+    )
 
 
 def collect_env() -> str:

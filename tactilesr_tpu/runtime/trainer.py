@@ -586,13 +586,12 @@ class Trainer:
         devices, where eager (non-jit) ops are not allowed; the replicated
         state is fetched to host first (a local copy, no collective) and the
         forward runs on the process's default device."""
+        from ..parallel.mesh import host_local_copy
+
         variables = {"params": self.state.params}
         bs = self.state.batch_stats
         if bs:
             variables["batch_stats"] = bs
-        leaves = jax.tree_util.tree_leaves(variables)
-        if any(
-            not getattr(leaf, "is_fully_addressable", True) for leaf in leaves
-        ):
-            variables = jax.device_get(variables)
-        return self.model.apply(variables, batch_input, train=train, **kwargs)
+        return self.model.apply(
+            host_local_copy(variables), batch_input, train=train, **kwargs
+        )

@@ -37,6 +37,16 @@ logger = logging.getLogger("tactilesr_tpu")
 DEFAULT_BUCKETS = (1, 8, 64, 256, 1024)
 
 
+def _tree_spec(tree):
+    """{leaf: (shape, dtype)} fingerprint used to validate hot-swapped
+    checkpoints against the serving executables (both load paths)."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(
+        lambda a: (tuple(np.shape(a)), str(np.result_type(a))), tree
+    )
+
+
 class SRPredictor:
     """Compiled SR inference with batch bucketing.
 
@@ -152,15 +162,7 @@ class SRPredictor:
         if not self.fused:
             old = getattr(self, "variables", None)
             if old is not None:  # reload: the new tree must match exactly
-                import jax.tree_util as jtu
-
-                def spec(tree):
-                    return jtu.tree_map(
-                        lambda a: (tuple(np.shape(a)), str(np.result_type(a))),
-                        tree,
-                    )
-
-                if spec(old) != spec(variables):
+                if _tree_spec(old) != _tree_spec(variables):
                     raise ValueError(
                         f"checkpoint {checkpoint_path!r} does not match the "
                         "serving architecture (different parameter tree or "
@@ -214,15 +216,7 @@ class SRPredictor:
             # shapes/dtypes exactly, or the no-recompile hot-swap contract
             # breaks (and a trace error would strand us weightless) -- same
             # guarantee the unfused path enforces above
-            import jax.tree_util as jtu
-
-            def fspec(tree):
-                return jtu.tree_map(
-                    lambda a: (tuple(np.shape(a)), str(np.result_type(a))),
-                    tree,
-                )
-
-            if fspec(old_folded) != fspec(folded):
+            if _tree_spec(old_folded) != _tree_spec(folded):
                 raise ValueError(
                     f"checkpoint {checkpoint_path!r} does not match the "
                     "serving architecture (different folded-parameter "

@@ -159,6 +159,11 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
                 bs,
                 ndata,
             )
+            lr_b, hr_b, mask_b = map(jnp.asarray, (lr_b, hr_b, mask_b))
+    else:
+        # device-commit once; as plain numpy these would re-upload the whole
+        # padded test set on every eval call (they are jit ARGUMENTS now)
+        lr_b, hr_b, mask_b = map(jnp.asarray, (lr_b, hr_b, mask_b))
 
     # global (possibly multi-process) arrays must be jit ARGUMENTS, not
     # closure captures -- XLA cannot constant-fold non-addressable data
@@ -300,9 +305,9 @@ def main(
     setup_logger("tactilesr_tpu")  # console from the first line; file handler
     # attaches when the trainer knows the work dir
     set_random_seed(config["random_seed"], config["deterministic"])
-    prec = config.get("matmul_precision", "default")
-    if prec and prec != "default":
-        jax.config.update("jax_default_matmul_precision", prec)
+    from ..runtime.misc import apply_matmul_precision
+
+    apply_matmul_precision(config)
 
     if mesh is None:
         from ..parallel.mesh import resolve_mesh_from_config

@@ -173,11 +173,9 @@ class InferenceHookTPSF(HookBase):
         if model is None:
             t = self.trainer
             model, params = t.model, t.state.params
-        if any(
-            not getattr(leaf, "is_fully_addressable", True)
-            for leaf in jax.tree_util.tree_leaves(params)
-        ):  # multi-process mesh: eager apply needs a host-local copy
-            params = jax.device_get(params)
+        from ..parallel.mesh import host_local_copy
+
+        params = host_local_copy(params)  # eager apply under a mp mesh
 
         fig = plt.figure(figsize=(10, 6), tight_layout=True)
         gs = gridspec.GridSpec(2, 4)
@@ -208,9 +206,9 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
 
     setup_logger("tactilesr_tpu")
     set_random_seed(config["random_seed"], config["deterministic"])
-    prec = config.get("matmul_precision", "default")
-    if prec and prec != "default":
-        jax.config.update("jax_default_matmul_precision", prec)
+    from ..runtime.misc import apply_matmul_precision
+
+    apply_matmul_precision(config)
 
     if mesh is None:
         from ..parallel.mesh import resolve_mesh_from_config
