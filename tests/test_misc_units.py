@@ -61,3 +61,20 @@ def test_predictor_rejects_wrong_channels(tmp_path, rng):
     )
     with pytest.raises(AssertionError):
         pred.predict(rng.random((2, 6, 4, 4)).astype(np.float32))
+
+
+def test_apply_matmul_precision_sets_and_resets():
+    """'highest' applies; 'default' must RESET the global flag so back-to-back
+    runs in one process don't inherit a previous run's override."""
+    from tactilesr_tpu.runtime.misc import apply_matmul_precision
+
+    flag = jax.config.jax_default_matmul_precision
+    try:
+        apply_matmul_precision({"matmul_precision": "highest"})
+        assert jax.config.jax_default_matmul_precision == "highest"
+        apply_matmul_precision({"matmul_precision": "default"})
+        assert jax.config.jax_default_matmul_precision is None
+        apply_matmul_precision({})  # absent key behaves like default
+        assert jax.config.jax_default_matmul_precision is None
+    finally:
+        jax.config.update("jax_default_matmul_precision", flag)
