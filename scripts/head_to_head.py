@@ -270,6 +270,59 @@ def generate_shared_data(args) -> None:
     )
 
 
+def report_all(workdir: str) -> None:
+    """Score every ``*_preds.npz`` in the workdir with ONE metric
+    implementation and print a comparison table (used for seed-spread
+    studies: several ours-only runs + the reference)."""
+    import glob
+
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # tiny metrics; never touch
+    # (or wait on) the TPU tunnel from a reporting pass
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from tactilesr_tpu.metrics import batched_psnr, batched_ssim
+
+    rows = []
+    label_ref = None
+    for path in sorted(glob.glob(os.path.join(workdir, "*_preds.npz"))):
+        tag = os.path.basename(path)[: -len("_preds.npz")]
+        with np.load(path) as z:
+            sr, hr = z["SR"], z["HR"]
+        if label_ref is None:
+            label_ref = hr
+        elif hr.shape == label_ref.shape:
+            np.testing.assert_allclose(hr, label_ref, rtol=1e-4, atol=1e-5)
+        ps = float(
+            np.asarray(
+                batched_psnr(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]), 250.0)
+            ).mean()
+        )
+        ss = float(
+            np.asarray(batched_ssim(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]))).mean()
+        )
+        mse = float(np.mean((sr - hr) ** 2))
+        rows.append((tag, ps, ss, mse))
+        print(f"{tag:24} PSNR {ps:7.3f} dB  SSIM {ss:7.4f}  MSE {mse:8.5f}")
+    ours = [r for r in rows if r[0].startswith("tpu")]
+    ref = [r for r in rows if r[0].startswith("ref")]
+    if ours and ref:
+        ps = sorted(r[1] for r in ours)
+        summary = {
+            "ref_psnr": round(ref[-1][1], 3),
+            "ours_psnr_min": round(ps[0], 3),
+            "ours_psnr_median": round(ps[len(ps) // 2], 3),
+            "ours_psnr_max": round(ps[-1], 3),
+            "n_ours": len(ours),
+            "ref_within_ours_range": bool(ps[0] <= ref[-1][1] <= ps[-1]),
+        }
+        print("H2H_REPORT " + json.dumps(summary))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="/tmp/tactilesr_h2h")
@@ -298,6 +351,12 @@ def main() -> None:
     )
     p.add_argument("--skip-datagen", action="store_true")
     p.add_argument(
+        "--report",
+        action="store_true",
+        help="score every *_preds.npz in the workdir with the shared "
+        "evaluator and print one table (seed-spread summary)",
+    )
+    p.add_argument(
         "--skip-ref",
         action="store_true",
         help="reuse an existing ref_preds.npz + ref_work log instead of "
@@ -312,6 +371,10 @@ def main() -> None:
 
     if args.ref_worker:
         run_reference_worker(args)
+        return
+
+    if args.report:  # reporting never regenerates anything
+        report_all(args.workdir)
         return
 
     os.makedirs(args.workdir, exist_ok=True)
