@@ -53,7 +53,11 @@ def _common_overrides(args) -> dict:
         warmup_init_lr=1e-5,
         warmup_factor=1e-4,
         epochs=args.epochs,
-        checkpoint_period=max(args.epochs - 1, 1),
+        checkpoint_period=(
+            args.checkpoint_period
+            if args.checkpoint_period is not None
+            else max(args.epochs - 1, 1)
+        ),
         inference_test=False,
         random_seed=args.seed,
     )
@@ -90,6 +94,27 @@ def run_reference_worker(args) -> None:
             records.append(record.getMessage())
 
     logging.getLogger("cpu").addHandler(_Capture())
+
+    if args.ref_auto_resume:
+        # the reference's main() hardcodes trainer.train(auto_resume=False)
+        # (/root/reference/train/tactileSR_train.py:239); long single-core
+        # runs need to survive client restarts, so force auto-resume from
+        # ref_work/checkpoints/latest.pth when the caller asks for it
+        orig_train = ref_train.Trainer.train
+        ref_train.Trainer.train = (
+            lambda self, *a, **k: orig_train(self, auto_resume=True)
+        )
+        # the reference's load_checkpoint calls bare torch.load
+        # (cpu/trainer.py:440), which under torch>=2.6's weights_only=True
+        # default cannot unpickle its own checkpoints (they embed
+        # cpu.trainer.MetricStorage); these are files we just wrote, so
+        # force the pre-2.6 behavior
+        import torch
+
+        _orig_load = torch.load
+        torch.load = lambda *a, **k: _orig_load(
+            *a, **{**k, "weights_only": False}
+        )
 
     ref_train.main(cfg)
 
@@ -337,6 +362,21 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--matmul-precision", default="highest")
     p.add_argument(
+        "--checkpoint-period",
+        type=int,
+        default=None,
+        help="override both sides' checkpoint period (default: epochs-1, "
+        "i.e. one final checkpoint); long reference runs on one CPU core "
+        "want a small period so they are resumable",
+    )
+    p.add_argument(
+        "--ref-auto-resume",
+        action="store_true",
+        help="let the reference trainer auto-resume from "
+        "ref_work/checkpoints/latest.pth (the reference's own main() "
+        "hardcodes auto_resume=False)",
+    )
+    p.add_argument(
         "--ours-only",
         action="store_true",
         help="train only our side and print its trajectory + dump "
@@ -408,11 +448,14 @@ def main() -> None:
             # NB identity checks: `0 in (None, False)` is True (0 == False),
             # which would silently drop --seed 0 / --warmup-t 0 and train the
             # two sides with different recipes
-            if k in ("ref_worker", "skip_datagen", "skip_ref", "ours_only") or (
-                v is None or v is False
-            ):
+            if k in (
+                "ref_worker", "skip_datagen", "skip_ref", "ours_only",
+                "ref_auto_resume",
+            ) or (v is None or v is False):
                 continue
             ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
+        if args.ref_auto_resume:
+            ref_cmd.append("--ref-auto-resume")
         out = subprocess.run(
             ref_cmd, capture_output=True, text=True, cwd=args.workdir
         )
