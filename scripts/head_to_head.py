@@ -204,6 +204,7 @@ def run_ours(args) -> list:
         # visibly changes convergence on this small-data recipe -- pin the
         # parity-grade precision
         matmul_precision=args.matmul_precision,
+        head_init=args.head_init,
     )
     trainer = sr_main(cfg)
     storage = trainer.metric_storage
@@ -388,6 +389,14 @@ def main() -> None:
         default="tpu",
         help="basename prefix for the predictions dump (ours-only runs "
         "with several seeds use distinct tags)",
+    )
+    p.add_argument(
+        "--head-init",
+        default="reference",
+        help="ours-side head_init knob (reference|non_negative); the "
+        "reference side always trains its own exact init, so this only "
+        "affects run_ours (used to demo the dead-head cure on the seed "
+        "that drew it)",
     )
     p.add_argument("--skip-datagen", action="store_true")
     p.add_argument(

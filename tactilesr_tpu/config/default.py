@@ -110,6 +110,13 @@ tactileSR_config = {
     # single-frame); additive over the reference, which keeps the CNN class
     # in its model file with no recipe wiring (model/tactileSR_model.py:101)
     "model_arch": "TactileSR",
+    # "reference" keeps the reference's Kaiming fan_out on the final
+    # conv->ReLU head (which can be born dead on an unlucky draw -- the
+    # eval then freezes at mean(HR^2); see RESULTS.md); "non_negative"
+    # folds that one kernel to |Kaiming| so the head is alive for every
+    # seed.  Same param tree either way (checkpoint-compatible); additive
+    # over the reference.
+    "head_init": "reference",
     "inference_test": True,
     "save_dir": os.path.join(root_path, "pth/tactileSR_single"),
     "train_dataset_dir": os.path.join(root_path, "data/SRdataset/SRdataset_train.npz"),

@@ -19,6 +19,7 @@ import numpy as np
 
 __all__ = [
     "kaiming_normal_fan_out",
+    "non_negative_kaiming_fan_out",
     "torch_conv_bias_init",
     "Conv",
     "BatchNorm",
@@ -31,6 +32,24 @@ __all__ = [
 kaiming_normal_fan_out = jax.nn.initializers.variance_scaling(
     2.0, "fan_out", "normal"
 )
+
+
+def non_negative_kaiming_fan_out(key, shape, dtype=jnp.float32):
+    """|Kaiming fan_out|: same magnitudes, all-positive signs.
+
+    The reference architecture ends every SR network with
+    conv(no bias) -> ReLU (model/tactileSR_model.py:84-86).  Its inputs are
+    ReLU features (>= 0), so an unlucky Kaiming draw whose positive weight
+    mass never dominates leaves the pre-activation negative for every
+    sample -- the ReLU gradient is then exactly zero and the whole network
+    is frozen at init (observed: seed 3 of the head-to-head study, eval
+    loss pinned at mean(HR^2)).  Folding the weights to their absolute
+    value keeps the init scale but guarantees a non-negative pre-activation
+    wherever any input feature fires, so the head can never be born dead.
+    Opt-in via ``head_init: non_negative`` (the default stays
+    reference-exact).
+    """
+    return jnp.abs(kaiming_normal_fan_out(key, shape, dtype))
 
 
 def torch_conv_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):

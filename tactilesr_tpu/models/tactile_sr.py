@@ -25,7 +25,26 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear, upsample_bilinear
 from .blocks import MSRB, ResBlock
-from .layers import BatchNorm, Conv
+from .layers import (
+    BatchNorm,
+    Conv,
+    kaiming_normal_fan_out,
+    non_negative_kaiming_fan_out,
+)
+
+HEAD_INITS = {
+    "reference": kaiming_normal_fan_out,
+    "non_negative": non_negative_kaiming_fan_out,
+}
+
+
+def _head_kernel_init(head_init: str):
+    try:
+        return HEAD_INITS[head_init]
+    except KeyError:
+        raise ValueError(
+            f"head_init must be one of {sorted(HEAD_INITS)}, got {head_init!r}"
+        ) from None
 
 __all__ = ["TactileSR", "TactileSRCNN", "TAXEL_CNT"]
 
@@ -39,6 +58,10 @@ class TactileSR(nn.Module):
     pattern_feature_extra_layer_cnt: int = 6
     force_feature_extra_layer_cnt: int = 1
     dtype: Any = jnp.float32
+    # "reference" (Kaiming fan_out, reference-exact) or "non_negative"
+    # (|Kaiming|: immunizes the final conv->ReLU head against the
+    # born-dead init draw; same param tree, checkpoint-compatible)
+    head_init: str = "reference"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,7 +113,15 @@ class TactileSR(nn.Module):
         out = jnp.concatenate([force, pattern], axis=-1)
         out = Conv(128, 3, padding=1, use_bias=False, dtype=dt, name="output_conv0")(out)
         out = nn.relu(out)
-        out = Conv(1, 3, padding=1, use_bias=False, dtype=dt, name="output_conv1")(out)
+        out = Conv(
+            1,
+            3,
+            padding=1,
+            use_bias=False,
+            dtype=dt,
+            kernel_init=_head_kernel_init(self.head_init),
+            name="output_conv1",
+        )(out)
         out = nn.relu(out)
 
         hw = TAXEL_CNT * self.scale_factor
@@ -104,6 +135,7 @@ class TactileSRCNN(nn.Module):
     scale_factor: int = 10
     msrb_cnt: int = 6
     dtype: Any = jnp.float32
+    head_init: str = "reference"  # see TactileSR.head_init
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -116,6 +148,14 @@ class TactileSRCNN(nn.Module):
             h = nn.relu(h)
         for i in range(self.msrb_cnt):
             h = MSRB(dtype=dt, name=f"msrb_layer_{i}")(h, train=train)
-        h = Conv(1, 3, padding=1, use_bias=False, dtype=dt, name="output_conv")(h)
+        h = Conv(
+            1,
+            3,
+            padding=1,
+            use_bias=False,
+            dtype=dt,
+            kernel_init=_head_kernel_init(self.head_init),
+            name="output_conv",
+        )(h)
         h = nn.relu(h)
         return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)

@@ -60,7 +60,9 @@ def build_model(config):
 
         assert config["seqsCnt"] == 1, "TactileSRCNN is single-frame"
         return TactileSRCNN(
-            scale_factor=config["scale_factor"], dtype=_dtype_of(config)
+            scale_factor=config["scale_factor"],
+            dtype=_dtype_of(config),
+            head_init=config.get("head_init", "reference"),
         )
     return TactileSR(
         scale_factor=config["scale_factor"],
@@ -69,6 +71,7 @@ def build_model(config):
         pattern_feature_extra_layer_cnt=config["patternFeatureExtraLayerCnt"],
         force_feature_extra_layer_cnt=config["forceFeatureExtraLayerCnt"],
         dtype=_dtype_of(config),
+        head_init=config.get("head_init", "reference"),
     )
 
 

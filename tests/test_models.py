@@ -145,3 +145,62 @@ def test_tpsf_net_forward_and_grad(rng):
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+# ---------------------------------------------------------------- head_init
+def test_head_init_non_negative_same_tree_and_signs(rng):
+    """head_init only flips the final kernel's signs: identical param tree
+    (checkpoint-compatible), |values| drawn from the same Kaiming law."""
+    kw = dict(scale_factor=10, pattern_feature_extra_layer_cnt=1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 4)).astype(np.float32))
+    ref = TactileSR(**kw).init(jax.random.key(7), x)
+    pos = TactileSR(**kw, head_init="non_negative").init(jax.random.key(7), x)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(pos)
+    k_ref = np.asarray(ref["params"]["output_conv1"]["conv"]["kernel"])
+    k_pos = np.asarray(pos["params"]["output_conv1"]["conv"]["kernel"])
+    assert np.all(k_pos >= 0)
+    np.testing.assert_allclose(k_pos, np.abs(k_ref), rtol=1e-6)
+    # every other kernel is untouched
+    np.testing.assert_allclose(
+        np.asarray(ref["params"]["output_conv0"]["conv"]["kernel"]),
+        np.asarray(pos["params"]["output_conv0"]["conv"]["kernel"]),
+    )
+
+
+def test_head_init_immunizes_dead_head(rng):
+    """A head whose pre-activation is negative everywhere has exactly-zero
+    gradient (the born-dead mode observed on seed 3); the non_negative fold
+    of the SAME draw keeps the gradient alive."""
+    model = TactileSR(scale_factor=4, pattern_feature_extra_layer_cnt=1)
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 3, 4, 4))).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    params = variables["params"]
+    k = params["output_conv1"]["conv"]["kernel"]
+
+    from flax import traverse_util
+    from flax.core import unfreeze
+
+    def loss_with_head(kernel):
+        flat = traverse_util.flatten_dict(unfreeze(params))
+        flat[("output_conv1", "conv", "kernel")] = kernel
+        p = traverse_util.unflatten_dict(flat)
+        out = model.apply({**unfreeze(variables), "params": p}, x, train=False)
+        return jnp.mean((out - 1.0) ** 2)
+
+    g_dead = jax.grad(loss_with_head)(-jnp.abs(k))  # all-negative head
+    assert float(jnp.abs(g_dead).max()) == 0.0
+    g_live = jax.grad(loss_with_head)(jnp.abs(k))  # the non_negative fold
+    assert float(jnp.abs(g_live).max()) > 0.0
+
+
+def test_head_init_rejects_unknown():
+    with pytest.raises(ValueError, match="head_init"):
+        TactileSR(head_init="typo").init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)))
+
+
+def test_head_init_cnn(rng):
+    x = jnp.asarray(rng.standard_normal((1, 3, 4, 4)).astype(np.float32))
+    v = TactileSRCNN(scale_factor=4, msrb_cnt=1, head_init="non_negative").init(
+        jax.random.key(1), x
+    )
+    assert np.all(np.asarray(v["params"]["output_conv"]["conv"]["kernel"]) >= 0)
