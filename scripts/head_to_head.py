@@ -238,6 +238,58 @@ def run_ours(args) -> list:
     return traj
 
 
+def run_tpsf_stage(args) -> None:
+    """Orchestrate the stage-1 head-to-head: reference tPSFNet in a
+    subprocess (unless --skip-ref / --ours-only), then our side, then the
+    shared-evaluator table."""
+    import re
+
+    ref_traj = []
+    if not args.ours_only:
+        if args.skip_ref:
+            assert os.path.exists(os.path.join(args.workdir, "ref_tpsfpreds.npz"))
+        else:
+            ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
+            for k, v in vars(args).items():
+                if k in (
+                    "ref_worker", "skip_datagen", "skip_ref", "ours_only",
+                    "ref_auto_resume",
+                ) or (v is None or v is False):
+                    continue
+                ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
+            if args.ref_auto_resume:
+                ref_cmd.append("--ref-auto-resume")
+            out = subprocess.run(
+                ref_cmd, capture_output=True, text=True, cwd=args.workdir
+            )
+            sys.stderr.write(out.stderr[-2000:])
+            assert out.returncode == 0, (
+                f"reference tPSF run failed:\n{out.stdout[-3000:]}"
+            )
+            ref_traj = [
+                {"mse": float(m.group(1)), "ssim": float(m.group(2))}
+                for m in re.finditer(TPSF_EVAL_RE, out.stdout)
+            ]
+
+    ours_traj = run_ours_tpsf(args)
+
+    if ref_traj:
+        # NB logged trajectories are indicative, not sample-identical: each
+        # side scores the first sample of each of ITS test batches, and the
+        # two loaders order the blob files differently (the shared table
+        # below scores all taps in one canonical order)
+        n = min(len(ref_traj), len(ours_traj))
+        print("epoch |    ref MSE |   ours MSE |  ref SSIM | ours SSIM")
+        for e in range(n):
+            print(
+                f"{e:5d} | {ref_traj[e]['mse']:10.6f} | {ours_traj[e]['mse']:10.6f}"
+                f" | {ref_traj[e]['ssim']:9.4f} | {ours_traj[e]['ssim']:9.4f}"
+            )
+    else:
+        print("H2H_TPSF_OURS " + json.dumps({"seed": args.seed, "traj": ours_traj}))
+    tpsf_report(args.workdir)
+
+
 def shared_eval(workdir: str) -> dict:
     """Score both frameworks' predictions with ONE metric implementation
     (ours, golden-tested against the reference formulas on (H,W) maps)."""
@@ -269,9 +321,238 @@ def shared_eval(workdir: str) -> dict:
     return out
 
 
+# ------------------------------------------------------- tPSF (stage 1) leg
+TPSF_EVAL_RE = r"mse_loss_ave:([-\d.e+naninf]+), ssim_ave:([-\d.e+naninf]+)"
+
+
+def _tpsf_overrides(args) -> dict:
+    """The hyperparameters BOTH frameworks' stage-1 recipes train with
+    (reference defaults: config/default.py:17-40, minus size cuts)."""
+    return dict(
+        train_batch_size=args.batch,
+        test_batch_size=8,
+        lr=args.lr,
+        weight_decay=1e-5,
+        lr_scheduler_step_size=1,
+        lr_scheduler_gamma=0.8,
+        epochs=args.epochs,
+        sample_cnt=args.sample_cnt,
+        is_aug_data=False,
+        inference_test=False,
+        checkpoint_period=(
+            args.checkpoint_period
+            if args.checkpoint_period is not None
+            else max(args.epochs - 1, 1)
+        ),
+        random_seed=args.seed,
+    )
+
+
+def run_reference_worker_tpsf(args) -> None:
+    """Subprocess body: drive the reference's tPSFNet main() on our raw
+    blobs (train/tPSFNet_train.py:193-229), then dump its trained model's
+    degraded 4x4 predictions over the test taps for the shared evaluator."""
+    ref = args.reference
+    sys.path.insert(0, ref)
+    sys.path.insert(0, os.path.join(ref, "train"))
+
+    import utility.tools as ut  # noqa: E402
+
+    ut.select_gpu_with_least_used_memory = lambda: (0, "cpu", "cpu", 0)
+
+    import tPSFNet_train as ref_tpsf  # noqa: E402
+
+    # NB must mutate the module-global dict IN PLACE: build_dataloader reads
+    # `tPSFNet_config['train_batch_size']` from the global, not from the
+    # config it was passed (train/tPSFNet_train.py:36-37)
+    cfg = ref_tpsf.tPSFNet_config
+    cfg.update(_tpsf_overrides(args))
+    cfg.update(
+        dataset_dir=os.path.join(args.workdir, "data/rotateDataset"),
+        save_dir=os.path.join(args.workdir, "ref_tpsf_work"),
+    )
+
+    if args.ref_auto_resume:
+        orig_train = ref_tpsf.Trainer.train
+        ref_tpsf.Trainer.train = (
+            lambda self, *a, **k: orig_train(self, auto_resume=True)
+        )
+        import torch
+
+        _orig_load = torch.load
+        torch.load = lambda *a, **k: _orig_load(
+            *a, **{**k, "weights_only": False}
+        )
+
+    ref_tpsf.main(cfg)
+    # (the per-epoch "mse_loss_ave:..., ssim_ave:..." lines go to stdout via
+    # eval_func's print(); the parent parses them from this subprocess)
+
+    import numpy as np
+    import torch
+
+    from utility.raw_data_process import loadRawDataset  # noqa: E402
+
+    ckpt = torch.load(
+        os.path.join(cfg["save_dir"], "checkpoints", "latest.pth"),
+        map_location="cpu",
+        weights_only=False,
+    )
+    model = ref_tpsf.tPSFNet(
+        gama=cfg["gama"],
+        perception_scale=cfg["perception_scale"],
+        device=torch.device("cpu"),
+    )
+    model.load_state_dict(ckpt["model"])
+    model.eval()
+
+    # canonical test set: SORTED blob files so the sample order matches our
+    # loader's (the reference's os.walk order is directory-entry order;
+    # ours sorts -- data/datasets.py)
+    lrs, depths = [], []
+    for root, _dirs, files in os.walk(cfg["dataset_dir"]):
+        for f in sorted(files):
+            if os.path.splitext(f)[1] == ".npy":
+                for s in loadRawDataset(
+                    os.path.join(root, f),
+                    sample_cnt=cfg["sample_cnt"],
+                    is_sample_idx=list(range(0, 5)),
+                    is_aug_data=cfg["is_aug_data"],
+                ):
+                    lrs.append(np.ascontiguousarray(s["LR"]))
+                    depths.append(np.ascontiguousarray(s["depth"]))
+    lr = torch.tensor(np.stack(lrs), dtype=torch.float32) / cfg["scale_num"]
+    depth = torch.tensor(np.stack(depths), dtype=torch.float32).unsqueeze(1)
+    degs = []
+    with torch.no_grad():
+        for i in range(0, lr.shape[0], 8):
+            _hr, deg, _psf, _ab = model(lr[i : i + 8], depth[i : i + 8])
+            degs.append(deg.numpy())
+    np.savez(
+        os.path.join(args.workdir, "ref_tpsfpreds.npz"),
+        DEG=np.concatenate(degs),
+        LRZ=lr[:, 2:3].numpy(),
+    )
+    print("H2H_TPSF_REF_DONE", flush=True)
+
+
+def run_ours_tpsf(args) -> list:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
+    sys.path.insert(0, REPO)
+    if jax.default_backend() not in ("cpu",):
+        import jax.numpy as jnp
+
+        import bench
+
+        bench.wait_for_quiet(jnp, jax)
+    from tactilesr_tpu.config.default import tPSFNet_config
+    from tactilesr_tpu.tasks.tpsf_task import main as tpsf_main
+
+    cfg = dict(tPSFNet_config)
+    cfg.update(_tpsf_overrides(args))
+    cfg.update(
+        dataset_dir=os.path.join(args.workdir, "data/rotateDataset"),
+        save_dir=os.path.join(args.workdir, f"{args.preds_tag}_tpsf_work"),
+        compute_dtype="float32",
+        data_parallel="off",
+        matmul_precision=args.matmul_precision,
+    )
+    trainer = tpsf_main(cfg)
+    storage = trainer.metric_storage
+    traj = [
+        {"mse": m, "ssim": s}
+        for m, s in zip(
+            storage["Eval Metric"].state_dict()["values"],
+            storage["eval_ssim"].state_dict()["values"],
+        )
+    ]
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tactilesr_tpu.data.datasets import TPSFNetDataset
+    from tactilesr_tpu.parallel.mesh import host_local_copy
+
+    lr_t, depth_t = TPSFNetDataset(
+        cfg["dataset_dir"],
+        sample_cnt=cfg["sample_cnt"],
+        is_sample_idx=list(range(0, 5)),
+        is_aug_data=cfg["is_aug_data"],
+    ).stacked()
+    lr_in = jnp.asarray(lr_t, jnp.float32) / cfg["scale_num"]
+    params = host_local_copy(trainer.state.params)
+    _hr, deg, _psf, _ab = trainer.model.apply(
+        {"params": params}, lr_in, jnp.asarray(depth_t)[:, None], return_psf=False
+    )
+    np.savez(
+        os.path.join(args.workdir, f"{args.preds_tag}_tpsfpreds.npz"),
+        DEG=np.asarray(deg, np.float32),
+        LRZ=np.asarray(lr_in[:, 2:3], np.float32),
+    )
+    return traj
+
+
+def tpsf_report(workdir: str) -> None:
+    """Score every ``*_tpsfpreds.npz`` (degraded 4x4 prediction vs the real
+    z reading) with ONE metric implementation: per-sample MSE + global-stat
+    SSIM, averaged over ALL test taps (the reference's own eval only scores
+    the first sample of each batch; this scores everything)."""
+    import glob
+
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from tactilesr_tpu.metrics import batched_ssim
+
+    rows = []
+    label_ref = None
+    for path in sorted(glob.glob(os.path.join(workdir, "*_tpsfpreds.npz"))):
+        tag = os.path.basename(path)[: -len("_tpsfpreds.npz")]
+        with np.load(path) as z:
+            deg, lrz = z["DEG"], z["LRZ"]
+        if label_ref is None:
+            label_ref = lrz
+        else:  # both frameworks must predict the same real readings
+            np.testing.assert_allclose(lrz, label_ref, rtol=1e-4, atol=1e-5)
+        mse = float(np.mean((deg - lrz) ** 2))
+        ss = float(
+            np.asarray(
+                batched_ssim(jnp.asarray(deg[:, 0]), jnp.asarray(lrz[:, 0]))
+            ).mean()
+        )
+        rows.append((tag, mse, ss))
+        print(f"{tag:24} MSE {mse:10.6f}  SSIM {ss:7.4f}")
+    ours = [r for r in rows if r[0].startswith("tpu")]
+    ref = [r for r in rows if r[0].startswith("ref")]
+    if ours and ref:
+        print(
+            "H2H_TPSF "
+            + json.dumps(
+                {
+                    "ref_mse": round(ref[-1][1], 6),
+                    "ref_ssim": round(ref[-1][2], 5),
+                    "ours_mse": round(ours[-1][1], 6),
+                    "ours_ssim": round(ours[-1][2], 5),
+                    "mse_ratio_ours_over_ref": (
+                        round(ours[-1][1] / ref[-1][1], 4) if ref[-1][1] else None
+                    ),
+                }
+            )
+        )
+
+
 # -------------------------------------------------------------------- data
 def generate_shared_data(args) -> None:
-    """Synthetic raw -> brief tPSF fit -> one SRdataset in both formats."""
+    """Synthetic raw -> brief tPSF fit -> one SRdataset in both formats.
+    (--stage tpsf only needs the raw blobs: both frameworks fit the physics
+    themselves.)"""
     env = dict(os.environ)
     env.update(TACTILESR_PLATFORM="cpu", TACTILESR_ROOT=args.workdir)
     raw = os.path.join(args.workdir, "data/rotateDataset")
@@ -282,6 +563,8 @@ def generate_shared_data(args) -> None:
          "--out-dir", raw, "--names", "C", "I", "P", "--taps-per-blob", "81",
          "--seqs", "24"]
     )
+    if getattr(args, "stage", "sr") == "tpsf":
+        return
     run(
         [sys.executable, "train/tPSFNet_train.py", "--epochs", "2",
          "--sample_cnt", "4", "--train_batch_size", "64",
@@ -353,9 +636,24 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="/tmp/tactilesr_h2h")
     p.add_argument("--reference", default="/root/reference")
+    p.add_argument(
+        "--stage",
+        choices=("sr", "tpsf"),
+        default="sr",
+        help="which head-to-head to run: the stage-3 SR network (default) "
+        "or the stage-1 tPSFNet physics fit (both frameworks train on the "
+        "same raw blobs; the shared evaluator scores the degraded 4x4 "
+        "predictions over ALL test taps)",
+    )
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument(
+        "--lr",
+        type=float,
+        default=None,
+        help="default: 3e-4 for --stage sr, 1e-4 (the reference recipe's) "
+        "for --stage tpsf",
+    )
     p.add_argument("--scale-factor", type=int, default=10)
     p.add_argument("--pattern-layers", type=int, default=6)
     p.add_argument("--warmup-t", type=int, default=50)
@@ -417,18 +715,30 @@ def main() -> None:
     # absolute: the ref worker runs with cwd=workdir, so a relative path
     # would resolve to workdir/workdir/... inside it
     args.workdir = os.path.abspath(args.workdir)
+    if args.lr is None:
+        args.lr = 1e-4 if args.stage == "tpsf" else 3e-4
 
     if args.ref_worker:
-        run_reference_worker(args)
+        if args.stage == "tpsf":
+            run_reference_worker_tpsf(args)
+        else:
+            run_reference_worker(args)
         return
 
     if args.report:  # reporting never regenerates anything
-        report_all(args.workdir)
+        if args.stage == "tpsf":
+            tpsf_report(args.workdir)
+        else:
+            report_all(args.workdir)
         return
 
     os.makedirs(args.workdir, exist_ok=True)
     if not args.skip_datagen:
         generate_shared_data(args)
+
+    if args.stage == "tpsf":
+        run_tpsf_stage(args)
+        return
 
     if args.ours_only:
         traj = run_ours(args)

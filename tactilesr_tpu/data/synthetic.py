@@ -141,6 +141,12 @@ def write_raw_blob(
             )
         else:
             records[i] = make_tap_record(i, rng, shape_name, seqs, px)
+    # Reference-exact element type: each record is a 0-d object ndarray
+    # wrapping the dict, because the reference's loader unconditionally
+    # calls ``data.item()`` per element (utility/raw_data_process.py:99-101).
+    # Our own loader accepts both forms (raw_process.py).
+    for i in range(n_taps):
+        records[i] = np.array(records[i], dtype=object)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.save(path, records, allow_pickle=True)
     return path

@@ -350,3 +350,30 @@ def test_fused_serving_matches_reference_torch(rng):
         tactile_sr_cnn_infer(folded_cnn, jnp.asarray(x), scale_factor=10, msrb_cnt=6)
     )
     np.testing.assert_allclose(got_cnn, want_cnn, rtol=1e-3, atol=1e-4)
+
+
+def test_synthetic_blob_readable_by_reference_loader(tmp_path):
+    """The synthetic raw blobs must be byte-compatible with the REFERENCE's
+    own loader (utility/raw_data_process.py:99-101 unconditionally calls
+    ``.item()`` per element, so each record must be a 0-d object ndarray),
+    and both loaders must produce identical samples from the same blob —
+    the contract the tPSF-stage head-to-head rests on."""
+    from tactilesr_tpu.data.raw_process import load_raw_dataset
+    from tactilesr_tpu.data.synthetic import write_raw_blob
+
+    path = write_raw_blob(str(tmp_path / "blob.npy"), n_taps=9, seed=3, seqs=16)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from utility.raw_data_process import loadRawDataset as ref_load
+    finally:
+        sys.path.remove(REFERENCE)
+
+    kw = dict(sample_cnt=4, is_sample_idx=[0, 1, 2], is_aug_data=False)
+    ours = load_raw_dataset(path, **kw)
+    # NB ref's loader mutates data['depth'] in place, so it must run second
+    # on a fresh load (np.load re-reads the file; no aliasing in practice)
+    ref = ref_load(path, **kw)
+    assert len(ours) == len(ref) > 0
+    for a, b in zip(ours, ref):
+        np.testing.assert_allclose(a["LR"], b["LR"])
+        np.testing.assert_allclose(a["depth"], b["depth"])
