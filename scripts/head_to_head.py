@@ -63,6 +63,26 @@ def _common_overrides(args) -> dict:
     )
 
 
+def _parse_ref_sr_log(workdir: str) -> list:
+    """Reference SR eval trajectory from ``ref_work/log_rank0.txt`` — the
+    file accumulates across auto-resumed runs, so this sees every epoch from
+    the last FRESH start onward (resumed segments continue, never repeat,
+    an epoch's end-of-epoch eval)."""
+    import re
+
+    log_path = os.path.join(workdir, "ref_work", "log_rank0.txt")
+    if not os.path.exists(log_path):
+        return []
+    with open(log_path) as f:
+        text = f.read()
+    # drop anything before the last fresh start (earlier aborted full runs)
+    text = text.rsplit("Start training from iteration 0", 1)[-1]
+    return [
+        {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
+        for m in re.finditer(EVAL_RE, text)
+    ]
+
+
 # --------------------------------------------------------------- reference
 def run_reference_worker(args) -> None:
     """Subprocess body: drive the reference's own main() on our data."""
@@ -238,6 +258,28 @@ def run_ours(args) -> list:
     return traj
 
 
+def _spawn_ref_worker(args, what: str) -> "subprocess.CompletedProcess":
+    """Re-invoke this script as ``--ref-worker`` with the caller's args
+    forwarded (single source of truth for both stages' forwarding rules)."""
+    ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
+    for k, v in vars(args).items():
+        # NB identity checks: `0 in (None, False)` is True (0 == False),
+        # which would silently drop --seed 0 / --warmup-t 0 and train the
+        # two sides with different recipes
+        if k in (
+            "ref_worker", "skip_datagen", "skip_ref", "ours_only",
+            "ref_auto_resume",
+        ) or (v is None or v is False):
+            continue
+        ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
+    if args.ref_auto_resume:
+        ref_cmd.append("--ref-auto-resume")
+    out = subprocess.run(ref_cmd, capture_output=True, text=True, cwd=args.workdir)
+    sys.stderr.write(out.stderr[-2000:])
+    assert out.returncode == 0, f"{what} run failed:\n{out.stdout[-3000:]}"
+    return out
+
+
 def run_tpsf_stage(args) -> None:
     """Orchestrate the stage-1 head-to-head: reference tPSFNet in a
     subprocess (unless --skip-ref / --ours-only), then our side, then the
@@ -247,25 +289,12 @@ def run_tpsf_stage(args) -> None:
     ref_traj = []
     if not args.ours_only:
         if args.skip_ref:
+            # the reference's per-epoch eval goes through bare print() (not
+            # its logger), so a reused run has no re-parseable trajectory --
+            # the shared table below is the comparison in that case
             assert os.path.exists(os.path.join(args.workdir, "ref_tpsfpreds.npz"))
         else:
-            ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
-            for k, v in vars(args).items():
-                if k in (
-                    "ref_worker", "skip_datagen", "skip_ref", "ours_only",
-                    "ref_auto_resume",
-                ) or (v is None or v is False):
-                    continue
-                ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
-            if args.ref_auto_resume:
-                ref_cmd.append("--ref-auto-resume")
-            out = subprocess.run(
-                ref_cmd, capture_output=True, text=True, cwd=args.workdir
-            )
-            sys.stderr.write(out.stderr[-2000:])
-            assert out.returncode == 0, (
-                f"reference tPSF run failed:\n{out.stdout[-3000:]}"
-            )
+            out = _spawn_ref_worker(args, "reference tPSF")
             ref_traj = [
                 {"mse": float(m.group(1)), "ssim": float(m.group(2))}
                 for m in re.finditer(TPSF_EVAL_RE, out.stdout)
@@ -277,7 +306,8 @@ def run_tpsf_stage(args) -> None:
         # NB logged trajectories are indicative, not sample-identical: each
         # side scores the first sample of each of ITS test batches, and the
         # two loaders order the blob files differently (the shared table
-        # below scores all taps in one canonical order)
+        # below scores all taps in one canonical order).  Under
+        # --ref-auto-resume only the resumed run's epochs appear here.
         n = min(len(ref_traj), len(ours_traj))
         print("epoch |    ref MSE |   ours MSE |  ref SSIM | ours SSIM")
         for e in range(n):
@@ -285,14 +315,18 @@ def run_tpsf_stage(args) -> None:
                 f"{e:5d} | {ref_traj[e]['mse']:10.6f} | {ours_traj[e]['mse']:10.6f}"
                 f" | {ref_traj[e]['ssim']:9.4f} | {ours_traj[e]['ssim']:9.4f}"
             )
-    else:
+    elif args.ours_only:
         print("H2H_TPSF_OURS " + json.dumps({"seed": args.seed, "traj": ours_traj}))
+    else:
+        print("(no reference trajectory available; see shared table below)")
     tpsf_report(args.workdir)
 
 
-def shared_eval(workdir: str) -> dict:
+def shared_eval(workdir: str, ours_tag: str = "tpu") -> dict:
     """Score both frameworks' predictions with ONE metric implementation
-    (ours, golden-tested against the reference formulas on (H,W) maps)."""
+    (ours, golden-tested against the reference formulas on (H,W) maps).
+    Keys of the result are the ROLES ("ref"/"ours"); ``ours_tag`` names the
+    ours-side prediction file (``{ours_tag}_preds.npz``, --preds-tag)."""
     import numpy as np
 
     import jax
@@ -303,7 +337,7 @@ def shared_eval(workdir: str) -> dict:
 
     out = {}
     label_ref = None
-    for tag in ("ref", "tpu"):
+    for role, tag in (("ref", "ref"), ("ours", ours_tag)):
         with np.load(os.path.join(workdir, f"{tag}_preds.npz")) as z:
             sr, hr = z["SR"], z["HR"]
         if label_ref is None:
@@ -313,7 +347,7 @@ def shared_eval(workdir: str) -> dict:
         ps = np.asarray(batched_psnr(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]), 250.0))
         ss = np.asarray(batched_ssim(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0])))
         mse = float(np.mean((sr - hr) ** 2))
-        out[tag] = {
+        out[role] = {
             "psnr": round(float(ps.mean()), 4),
             "ssim": round(float(ss.mean()), 5),
             "mse": round(mse, 5),
@@ -604,7 +638,15 @@ def report_all(workdir: str) -> None:
             sr, hr = z["SR"], z["HR"]
         if label_ref is None:
             label_ref = hr
-        elif hr.shape == label_ref.shape:
+        elif hr.shape != label_ref.shape:
+            # a leftover dump from a different test set / scale_factor is
+            # incomparable -- exclude it from the table AND the summary
+            print(
+                f"{tag:24} SKIPPED: label shape {hr.shape} != "
+                f"{label_ref.shape} (stale prediction set from another run?)"
+            )
+            continue
+        else:
             np.testing.assert_allclose(hr, label_ref, rtol=1e-4, atol=1e-5)
         ps = float(
             np.asarray(
@@ -747,41 +789,19 @@ def main() -> None:
 
     # reference first (subprocess), then ours in-process
     if args.skip_ref:
-        import re
-
-        log_path = os.path.join(args.workdir, "ref_work", "log_rank0.txt")
-        with open(log_path) as f:
-            text = f.read()
-        # only the final training run in the log (earlier aborted runs may
-        # have appended eval lines too)
-        text = text.rsplit("Start training from iteration 0", 1)[-1]
-        ref_traj = [
-            {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
-            for m in re.finditer(EVAL_RE, text)
-        ]
-        assert ref_traj, f"no eval lines found in {log_path}"
+        ref_traj = _parse_ref_sr_log(args.workdir)
+        assert ref_traj, "no eval lines found in ref_work/log_rank0.txt"
         assert os.path.exists(os.path.join(args.workdir, "ref_preds.npz"))
     else:
-        ref_cmd = [sys.executable, os.path.abspath(__file__), "--ref-worker"]
-        for k, v in vars(args).items():
-            # NB identity checks: `0 in (None, False)` is True (0 == False),
-            # which would silently drop --seed 0 / --warmup-t 0 and train the
-            # two sides with different recipes
-            if k in (
-                "ref_worker", "skip_datagen", "skip_ref", "ours_only",
-                "ref_auto_resume",
-            ) or (v is None or v is False):
-                continue
-            ref_cmd += [f"--{k.replace('_', '-')}", str(v)]
-        if args.ref_auto_resume:
-            ref_cmd.append("--ref-auto-resume")
-        out = subprocess.run(
-            ref_cmd, capture_output=True, text=True, cwd=args.workdir
-        )
-        sys.stderr.write(out.stderr[-2000:])
-        assert out.returncode == 0, f"reference run failed:\n{out.stdout[-3000:]}"
+        out = _spawn_ref_worker(args, "reference")
         line = [l for l in out.stdout.splitlines() if l.startswith("H2H_REF ")]
         ref_traj = json.loads(line[-1][len("H2H_REF "):])
+        if args.ref_auto_resume:
+            # the subprocess only saw the resumed run's epochs (possibly
+            # ZERO, if the previous run already finished and main() went
+            # straight to the prediction dump); the log file accumulates
+            # every run's eval lines -- prefer it
+            ref_traj = _parse_ref_sr_log(args.workdir) or ref_traj
 
     ours_traj = run_ours(args)
 
@@ -803,16 +823,16 @@ def main() -> None:
             f" | {ref_traj[e]['ssim']:9.4f} | {ours_traj[e]['ssim']:9.4f}"
             f" | {ref_traj[e]['loss']:9.4f} | {ours_traj[e]['loss']:9.4f}"
         )
-    final = shared_eval(args.workdir)
-    gap_psnr = final["tpu"]["psnr"] - final["ref"]["psnr"]
-    gap_ssim = final["tpu"]["ssim"] - final["ref"]["ssim"]
+    final = shared_eval(args.workdir, ours_tag=args.preds_tag)
+    gap_psnr = final["ours"]["psnr"] - final["ref"]["psnr"]
+    gap_ssim = final["ours"]["ssim"] - final["ref"]["ssim"]
     print(
         "H2H_RESULT "
         + json.dumps(
             {
                 "epochs": n,
-                "ref_logged_final": ref_traj[n - 1],
-                "ours_logged_final": ours_traj[n - 1],
+                "ref_logged_final": ref_traj[n - 1] if n else None,
+                "ours_logged_final": ours_traj[n - 1] if n else None,
                 "shared_eval": final,
                 "psnr_gap_db": round(gap_psnr, 4),
                 "ssim_gap": round(gap_ssim, 5),
