@@ -63,11 +63,16 @@ def _common_overrides(args) -> dict:
     )
 
 
-def _parse_ref_sr_log(workdir: str) -> list:
-    """Reference SR eval trajectory from ``ref_work/log_rank0.txt`` — the
-    file accumulates across auto-resumed runs, so this sees every epoch from
-    the last FRESH start onward (resumed segments continue, never repeat,
-    an epoch's end-of-epoch eval)."""
+def _parse_ref_sr_log(workdir: str, iters_per_epoch: int) -> list:
+    """Reference SR eval trajectory from ``ref_work/log_rank0.txt``.
+
+    The file accumulates across auto-resumed runs, and a killed run's
+    resumed segment RE-TRAINS from its last checkpoint — so the same
+    epoch's eval can appear several times.  Each segment opens with
+    ``Start training from iteration N`` and logs exactly one ``[test]``
+    line per completed epoch (verified: a 12-epoch reference run logs 12),
+    so a segment's k-th eval is epoch ``N // iters_per_epoch + k``; later
+    segments override earlier ones."""
     import re
 
     log_path = os.path.join(workdir, "ref_work", "log_rank0.txt")
@@ -75,12 +80,40 @@ def _parse_ref_sr_log(workdir: str) -> list:
         return []
     with open(log_path) as f:
         text = f.read()
-    # drop anything before the last fresh start (earlier aborted full runs)
-    text = text.rsplit("Start training from iteration 0", 1)[-1]
-    return [
-        {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
-        for m in re.finditer(EVAL_RE, text)
-    ]
+    parts = re.split(r"Start training from iteration (\d+)", text)
+    # parts = [preamble, N1, body1, N2, body2, ...]; keep from the last
+    # FRESH start (iteration 0) onward — earlier aborted full runs out
+    starts = [int(parts[i]) for i in range(1, len(parts), 2)]
+    bodies = [parts[i + 1] for i in range(1, len(parts), 2)]
+    fresh = max((i for i, s in enumerate(starts) if s == 0), default=None)
+    if fresh is None:
+        return []
+    by_epoch: dict = {}
+    for start_iter, body in zip(starts[fresh:], bodies[fresh:]):
+        epoch0 = start_iter // iters_per_epoch
+        for k, m in enumerate(re.finditer(EVAL_RE, body)):
+            by_epoch[epoch0 + k] = {
+                "loss": float(m.group(1)),
+                "ssim": float(m.group(2)),
+                "psnr": float(m.group(3)),
+            }
+    return [by_epoch[e] for e in sorted(by_epoch)]
+
+
+def _sr_iters_per_epoch(args) -> int:
+    """Train iterations per epoch of the shared SRdataset (the reference's
+    DataLoader keeps the final partial batch: ceil(len/batch))."""
+    import math
+
+    sys.path.insert(0, REPO)
+    from tactilesr_tpu.data.datasets import TactileSRDataset
+
+    n = len(
+        TactileSRDataset(
+            os.path.join(args.workdir, "data/SRdataset/SRdataset_train.npy")
+        )
+    )
+    return math.ceil(n / args.batch)
 
 
 # --------------------------------------------------------------- reference
@@ -789,7 +822,7 @@ def main() -> None:
 
     # reference first (subprocess), then ours in-process
     if args.skip_ref:
-        ref_traj = _parse_ref_sr_log(args.workdir)
+        ref_traj = _parse_ref_sr_log(args.workdir, _sr_iters_per_epoch(args))
         assert ref_traj, "no eval lines found in ref_work/log_rank0.txt"
         assert os.path.exists(os.path.join(args.workdir, "ref_preds.npz"))
     else:
@@ -801,7 +834,10 @@ def main() -> None:
             # ZERO, if the previous run already finished and main() went
             # straight to the prediction dump); the log file accumulates
             # every run's eval lines -- prefer it
-            ref_traj = _parse_ref_sr_log(args.workdir) or ref_traj
+            ref_traj = (
+                _parse_ref_sr_log(args.workdir, _sr_iters_per_epoch(args))
+                or ref_traj
+            )
 
     ours_traj = run_ours(args)
 
