@@ -100,7 +100,7 @@ def _parse_ref_sr_log(workdir: str, iters_per_epoch: int) -> list:
     return [by_epoch[e] for e in sorted(by_epoch)]
 
 
-def _sr_iters_per_epoch(args) -> int:
+def _sr_iters_per_epoch(args, train_path: str = None) -> int:
     """Train iterations per epoch of the shared SRdataset (the reference's
     DataLoader keeps the final partial batch: ceil(len/batch))."""
     import math
@@ -110,10 +110,81 @@ def _sr_iters_per_epoch(args) -> int:
 
     n = len(
         TactileSRDataset(
-            os.path.join(args.workdir, "data/SRdataset/SRdataset_train.npy")
+            train_path
+            or os.path.join(args.workdir, "data/SRdataset/SRdataset_train.npy")
         )
     )
     return math.ceil(n / args.batch)
+
+
+def _capture_cpu_log() -> list:
+    """Attach a handler to the reference's ``cpu`` logger and return the
+    live list its messages append to."""
+    records: list = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logging.getLogger("cpu").addHandler(_Capture())
+    return records
+
+
+def _force_ref_auto_resume(ref_module) -> None:
+    """The reference mains hardcode ``trainer.train(auto_resume=False)``;
+    long single-core runs need to survive client restarts, so patch the
+    (shared cpu.trainer) Trainer class to resume from
+    ``<save_dir>/checkpoints/latest.pth``.  Also force torch.load's
+    pre-2.6 ``weights_only=False`` behavior: the reference's checkpoints
+    embed cpu.trainer.MetricStorage, which torch>=2.6 refuses to unpickle
+    by default (these are files we just wrote ourselves)."""
+    orig_train = ref_module.Trainer.train
+    ref_module.Trainer.train = (
+        lambda self, *a, **k: orig_train(self, auto_resume=True)
+    )
+    import torch
+
+    _orig_load = torch.load
+    torch.load = lambda *a, **k: _orig_load(*a, **{**k, "weights_only": False})
+
+
+def _print_sr_result(ref_traj, ours_traj, preds_dir, ours_tag, scale_factor):
+    """The per-epoch trajectory table + shared-evaluator verdict shared by
+    the SR and MTSR stages."""
+    import math
+
+    n = min(len(ref_traj), len(ours_traj))
+    hw = 4 * scale_factor
+    offset_db = 10 * math.log10(hw)  # divisor C*H vs the true H*W
+    print(
+        "\n(ref's logged PSNR carries its eval quirk: calculationPSNR gets"
+        f" (C,H,W) tensors -> divisor C*H={hw}, a constant -{offset_db:.2f} dB"
+        " vs the true per-map formula; 'shared eval' below scores both"
+        " frameworks with one implementation)"
+    )
+    print("epoch |   ref PSNR |  ours PSNR |  ref SSIM | ours SSIM |  ref loss | ours loss")
+    for e in range(n):
+        print(
+            f"{e:5d} | {ref_traj[e]['psnr']:10.3f} | {ours_traj[e]['psnr']:10.3f}"
+            f" | {ref_traj[e]['ssim']:9.4f} | {ours_traj[e]['ssim']:9.4f}"
+            f" | {ref_traj[e]['loss']:9.4f} | {ours_traj[e]['loss']:9.4f}"
+        )
+    final = shared_eval(preds_dir, ours_tag=ours_tag)
+    gap_psnr = final["ours"]["psnr"] - final["ref"]["psnr"]
+    gap_ssim = final["ours"]["ssim"] - final["ref"]["ssim"]
+    print(
+        "H2H_RESULT "
+        + json.dumps(
+            {
+                "epochs": n,
+                "ref_logged_final": ref_traj[n - 1] if n else None,
+                "ours_logged_final": ours_traj[n - 1] if n else None,
+                "shared_eval": final,
+                "psnr_gap_db": round(gap_psnr, 4),
+                "ssim_gap": round(gap_ssim, 5),
+            }
+        )
+    )
 
 
 # --------------------------------------------------------------- reference
@@ -140,34 +211,10 @@ def run_reference_worker(args) -> None:
     )
 
     # capture the reference's per-epoch eval log lines
-    records: list[str] = []
-
-    class _Capture(logging.Handler):
-        def emit(self, record):
-            records.append(record.getMessage())
-
-    logging.getLogger("cpu").addHandler(_Capture())
+    records = _capture_cpu_log()
 
     if args.ref_auto_resume:
-        # the reference's main() hardcodes trainer.train(auto_resume=False)
-        # (/root/reference/train/tactileSR_train.py:239); long single-core
-        # runs need to survive client restarts, so force auto-resume from
-        # ref_work/checkpoints/latest.pth when the caller asks for it
-        orig_train = ref_train.Trainer.train
-        ref_train.Trainer.train = (
-            lambda self, *a, **k: orig_train(self, auto_resume=True)
-        )
-        # the reference's load_checkpoint calls bare torch.load
-        # (cpu/trainer.py:440), which under torch>=2.6's weights_only=True
-        # default cannot unpickle its own checkpoints (they embed
-        # cpu.trainer.MetricStorage); these are files we just wrote, so
-        # force the pre-2.6 behavior
-        import torch
-
-        _orig_load = torch.load
-        torch.load = lambda *a, **k: _orig_load(
-            *a, **{**k, "weights_only": False}
-        )
+        _force_ref_auto_resume(ref_train)
 
     ref_train.main(cfg)
 
@@ -440,16 +487,7 @@ def run_reference_worker_tpsf(args) -> None:
     )
 
     if args.ref_auto_resume:
-        orig_train = ref_tpsf.Trainer.train
-        ref_tpsf.Trainer.train = (
-            lambda self, *a, **k: orig_train(self, auto_resume=True)
-        )
-        import torch
-
-        _orig_load = torch.load
-        torch.load = lambda *a, **k: _orig_load(
-            *a, **{**k, "weights_only": False}
-        )
+        _force_ref_auto_resume(ref_tpsf)
 
     ref_tpsf.main(cfg)
     # (the per-epoch "mse_loss_ave:..., ssim_ave:..." lines go to stdout via
@@ -615,6 +653,251 @@ def tpsf_report(workdir: str) -> None:
         )
 
 
+# ------------------------------------------------------ MTSR (stage 4) leg
+def _mtsr_overrides(args) -> dict:
+    """The hyperparameters BOTH frameworks' stage-4 recipes train with
+    (reference defaults: config/default.py:80-97 -- lr 1e-4, no warmup:
+    the reference's seqs main() passes no warmup args to its Trainer)."""
+    return dict(
+        train_batch_size=args.batch,
+        test_batch_size=8,
+        lr=args.lr,
+        weight_decay=1e-2,
+        lr_scheduler_step_size=2,
+        lr_scheduler_gamma=0.8,
+        scale_factor=args.scale_factor,
+        seqsCnt=args.seqs_cnt,
+        axisCnt=3,
+        patternFeatureExtraLayerCnt=args.pattern_layers,
+        forceFeatureExtraLayerCnt=1,
+        HR_scale_num=10,
+        sensorMaxVaule_factor=250,
+        epochs=args.epochs,
+        checkpoint_period=(
+            args.checkpoint_period
+            if args.checkpoint_period is not None
+            else max(args.epochs - 1, 1)
+        ),
+        inference_test=False,
+        random_seed=args.seed,
+    )
+
+
+def _mtsr_dataset_paths(args) -> dict:
+    base = os.path.join(args.workdir, "data/SeqsDataset")
+    return {
+        "train_dataset_dir": os.path.join(base, "SRdataset_train_32.npy"),
+        "test_dataset_dir": os.path.join(base, "SRdataset_test_32.npy"),
+        "val_dataset_dir": os.path.join(base, "SRdataset_validation_32.npy"),
+    }
+
+
+def run_reference_worker_mtsr(args) -> None:
+    """Subprocess body: drive the reference's tactileSRSeqs main() on our
+    SeqsDataset (train/tactileSRSeqs_train.py:62-100), trunk-transferring
+    from ITS OWN head-to-head STSR checkpoint (model_param_init reads the
+    module-global tactileSeqs_config['load_checkpoint_dir'], so that dict
+    must be mutated in place), then dump test-set predictions."""
+    ref = args.reference
+    sys.path.insert(0, ref)
+    sys.path.insert(0, os.path.join(ref, "train"))
+
+    import utility.tools as ut  # noqa: E402
+
+    ut.select_gpu_with_least_used_memory = lambda: (0, "cpu", "cpu", 0)
+
+    import tactileSRSeqs_train as ref_seqs  # noqa: E402
+
+    ref_stsr = args.ref_stsr_checkpoint or os.path.join(
+        args.workdir, "ref_work/checkpoints/latest.pth"
+    )
+    assert os.path.exists(ref_stsr), (
+        f"reference STSR transfer checkpoint missing: {ref_stsr} -- run the"
+        " --stage sr head-to-head first (the MTSR recipe warm-starts its"
+        " trunks from stage 3)"
+    )
+    # the transfer source is built from the module-global tactileSR_config
+    # (train/tactileSRSeqs_train.py:47-51) -- align its shape knobs with
+    # the checkpoint we trained in the SR stage
+    ref_seqs.tactileSR_config.update(
+        scale_factor=args.scale_factor,
+        seqsCnt=1,
+        axisCnt=3,
+        patternFeatureExtraLayerCnt=args.pattern_layers,
+        forceFeatureExtraLayerCnt=1,
+    )
+    cfg = ref_seqs.tactileSeqs_config  # in place: model_param_init reads it
+    cfg.update(_mtsr_overrides(args))
+    cfg.update(_mtsr_dataset_paths(args))
+    cfg.update(
+        load_checkpoint_dir=ref_stsr,
+        save_dir=os.path.join(args.workdir, "mtsr", "ref_work"),
+    )
+
+    records = _capture_cpu_log()
+    if args.ref_auto_resume:
+        _force_ref_auto_resume(ref_seqs)
+    else:
+        # the transfer checkpoint embeds cpu.trainer classes too
+        import torch
+
+        _orig_load = torch.load
+        torch.load = lambda *a, **k: _orig_load(
+            *a, **{**k, "weights_only": False}
+        )
+
+    ref_seqs.main(cfg)
+
+    import re
+
+    traj = [
+        {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
+        for line in records
+        for m in [re.search(EVAL_RE, line)]
+        if m
+    ]
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    ckpt = torch.load(
+        os.path.join(cfg["save_dir"], "checkpoints", "latest.pth"),
+        map_location="cpu",
+        weights_only=False,
+    )
+    model = ref_seqs.TactileSR(
+        scale_factor=cfg["scale_factor"],
+        seqsCnt=cfg["seqsCnt"],
+        axisCnt=cfg["axisCnt"],
+        patternFeatureExtraLayerCnt=cfg["patternFeatureExtraLayerCnt"],
+        forceFeatureExtraLayerCnt=cfg["forceFeatureExtraLayerCnt"],
+    )
+    model.load_state_dict(ckpt["model"])
+    model.eval()
+    ds = ref_seqs.TactileSRDataset_seq(cfg["test_dataset_dir"])
+    loader = ref_seqs.DataLoader(
+        ds, batch_size=cfg["test_batch_size"], shuffle=False
+    )
+    preds, labels = [], []
+    hw = 4 * cfg["scale_factor"]
+    with torch.no_grad():
+        for LR, HR in loader:
+            LR = LR.type(torch.float32)[:, : cfg["seqsCnt"] * cfg["axisCnt"]]
+            HR = HR.type(torch.float32) / cfg["HR_scale_num"]
+            HR = F.interpolate(HR, size=(hw, hw), mode="bilinear", align_corners=False)
+            preds.append(model(LR).numpy())
+            labels.append(HR.numpy())
+    np.savez(
+        os.path.join(args.workdir, "mtsr", "ref_preds.npz"),
+        SR=np.concatenate(preds),
+        HR=np.concatenate(labels),
+    )
+    print("H2H_REF " + json.dumps(traj), flush=True)
+
+
+def run_ours_mtsr(args) -> list:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
+    sys.path.insert(0, REPO)
+    if jax.default_backend() not in ("cpu",):
+        import jax.numpy as jnp
+
+        import bench
+
+        bench.wait_for_quiet(jnp, jax)
+    from tactilesr_tpu.config.default import tactileSeqs_config
+    from tactilesr_tpu.tasks.sr_task import main as sr_main
+
+    ours_stsr = args.ours_stsr_checkpoint
+    assert ours_stsr and os.path.exists(ours_stsr), (
+        "--ours-stsr-checkpoint must name our trained STSR bundle (e.g."
+        " <workdir>/tpu_s42_work/checkpoints/latest.ckpt) -- the MTSR"
+        " recipe warm-starts its trunks from stage 3"
+    )
+    cfg = dict(tactileSeqs_config)
+    cfg.update(_mtsr_overrides(args))
+    cfg.update(_mtsr_dataset_paths(args))  # the literal legacy files
+    cfg.update(
+        load_checkpoint_dir=ours_stsr,
+        save_dir=os.path.join(args.workdir, "mtsr", f"{args.preds_tag}_work"),
+        compute_dtype="float32",
+        data_parallel="off",
+        matmul_precision=args.matmul_precision,
+        head_init=args.head_init,
+    )
+    trainer = sr_main(cfg, seqs=True)
+    storage = trainer.metric_storage
+    vals = {
+        k: storage[k].state_dict()["values"]
+        for k in ("test_loss", "test_SSIM", "test_PSNR")
+    }
+    traj = [
+        {"loss": l, "ssim": s, "psnr": p}
+        for l, s, p in zip(vals["test_loss"], vals["test_SSIM"], vals["test_PSNR"])
+    ]
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.data.datasets import TactileSRDatasetSeq
+    from tactilesr_tpu.tasks.sr_task import prepare_sr_labels
+
+    lr_test, hr_test = TactileSRDatasetSeq(cfg["test_dataset_dir"]).stacked()
+    out = trainer.model_apply(
+        jnp.asarray(lr_test[:, : cfg["seqsCnt"] * cfg["axisCnt"]]), train=False
+    )
+    np.savez(
+        os.path.join(args.workdir, "mtsr", f"{args.preds_tag}_preds.npz"),
+        SR=np.asarray(out),
+        HR=prepare_sr_labels(hr_test, cfg),
+    )
+    return traj
+
+
+def run_mtsr_stage(args) -> None:
+    """Orchestrate the stage-4 head-to-head: both frameworks train the
+    seqsCnt-frame MTSR on the same SeqsDataset files, each trunk-transferring
+    from its OWN stage-3 head-to-head checkpoint (the full-pipeline
+    comparison), scored by the shared evaluator."""
+    preds_dir = os.path.join(args.workdir, "mtsr")
+    os.makedirs(preds_dir, exist_ok=True)
+
+    if args.ours_only:
+        traj = run_ours_mtsr(args)
+        print("H2H_MTSR_OURS " + json.dumps({"seed": args.seed, "traj": traj}))
+        return
+
+    if args.skip_ref:
+        ref_traj = _parse_ref_sr_log(
+            preds_dir,
+            _sr_iters_per_epoch(args, _mtsr_dataset_paths(args)["train_dataset_dir"]),
+        )
+        assert ref_traj, "no eval lines found in mtsr/ref_work/log_rank0.txt"
+        assert os.path.exists(os.path.join(preds_dir, "ref_preds.npz"))
+    else:
+        out = _spawn_ref_worker(args, "reference MTSR")
+        line = [l for l in out.stdout.splitlines() if l.startswith("H2H_REF ")]
+        ref_traj = json.loads(line[-1][len("H2H_REF "):])
+        if args.ref_auto_resume:
+            ref_traj = (
+                _parse_ref_sr_log(
+                    preds_dir,
+                    _sr_iters_per_epoch(
+                        args, _mtsr_dataset_paths(args)["train_dataset_dir"]
+                    ),
+                )
+                or ref_traj
+            )
+
+    ours_traj = run_ours_mtsr(args)
+    _print_sr_result(
+        ref_traj, ours_traj, preds_dir, args.preds_tag, args.scale_factor
+    )
+
+
 # -------------------------------------------------------------------- data
 def generate_shared_data(args) -> None:
     """Synthetic raw -> brief tPSF fit -> one SRdataset in both formats.
@@ -632,15 +915,29 @@ def generate_shared_data(args) -> None:
     )
     if getattr(args, "stage", "sr") == "tpsf":
         return
-    run(
-        [sys.executable, "train/tPSFNet_train.py", "--epochs", "2",
-         "--sample_cnt", "4", "--train_batch_size", "64",
-         "--compute_dtype", "float32", "--inference_seqs_length", "12"]
+    tpsf_ckpt = os.path.join(
+        args.workdir, "pth/tPSFNet_no_aug/checkpoints/latest.ckpt"
     )
+    if not os.path.exists(tpsf_ckpt):
+        run(
+            [sys.executable, "train/tPSFNet_train.py", "--epochs", "2",
+             "--sample_cnt", "4", "--train_batch_size", "64",
+             "--compute_dtype", "float32", "--inference_seqs_length", "12"]
+        )
+    if getattr(args, "stage", "sr") == "mtsr":
+        # stage 4 trains on the SeqsDataset (the SRdataset + both sides'
+        # STSR checkpoints must already exist from a --stage sr run)
+        run(
+            [sys.executable, "-m", "tactilesr_tpu.data.generate", "seqs",
+             "--tpsf-checkpoint", tpsf_ckpt, "--raw-dir", raw,
+             "--out-dir", os.path.join(args.workdir, "data/SeqsDataset"),
+             "--sample-cnt", str(args.sample_cnt), "--n-contacts", "3",
+             "--n-translations", "9", "--legacy-npy"]
+        )
+        return
     run(
         [sys.executable, "-m", "tactilesr_tpu.data.generate", "single",
-         "--tpsf-checkpoint",
-         os.path.join(args.workdir, "pth/tPSFNet_no_aug/checkpoints/latest.ckpt"),
+         "--tpsf-checkpoint", tpsf_ckpt,
          "--raw-dir", raw, "--out-dir", sr,
          "--sample-cnt", str(args.sample_cnt), "--legacy-npy"]
     )
@@ -713,12 +1010,14 @@ def main() -> None:
     p.add_argument("--reference", default="/root/reference")
     p.add_argument(
         "--stage",
-        choices=("sr", "tpsf"),
+        choices=("sr", "tpsf", "mtsr"),
         default="sr",
-        help="which head-to-head to run: the stage-3 SR network (default) "
-        "or the stage-1 tPSFNet physics fit (both frameworks train on the "
+        help="which head-to-head to run: the stage-3 SR network (default), "
+        "the stage-1 tPSFNet physics fit (both frameworks train on the "
         "same raw blobs; the shared evaluator scores the degraded 4x4 "
-        "predictions over ALL test taps)",
+        "predictions over ALL test taps), or the stage-4 multi-frame MTSR "
+        "(SeqsDataset; each side trunk-transfers from its OWN --stage sr "
+        "checkpoint, so run that first)",
     )
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--batch", type=int, default=32)
@@ -726,8 +1025,26 @@ def main() -> None:
         "--lr",
         type=float,
         default=None,
-        help="default: 3e-4 for --stage sr, 1e-4 (the reference recipe's) "
-        "for --stage tpsf",
+        help="default: 3e-4 for --stage sr, 1e-4 (the reference recipes') "
+        "for --stage tpsf/mtsr",
+    )
+    p.add_argument(
+        "--seqs-cnt",
+        type=int,
+        default=7,
+        help="MTSR temporal frame count (--stage mtsr; reference recipe: 7)",
+    )
+    p.add_argument(
+        "--ours-stsr-checkpoint",
+        default=None,
+        help="--stage mtsr: OUR trained STSR bundle to trunk-transfer from "
+        "(e.g. <workdir>/tpu_s42_work/checkpoints/latest.ckpt)",
+    )
+    p.add_argument(
+        "--ref-stsr-checkpoint",
+        default=None,
+        help="--stage mtsr: the reference's STSR .pth to trunk-transfer "
+        "from (default: <workdir>/ref_work/checkpoints/latest.pth)",
     )
     p.add_argument("--scale-factor", type=int, default=10)
     p.add_argument("--pattern-layers", type=int, default=6)
@@ -791,11 +1108,13 @@ def main() -> None:
     # would resolve to workdir/workdir/... inside it
     args.workdir = os.path.abspath(args.workdir)
     if args.lr is None:
-        args.lr = 1e-4 if args.stage == "tpsf" else 3e-4
+        args.lr = 1e-4 if args.stage in ("tpsf", "mtsr") else 3e-4
 
     if args.ref_worker:
         if args.stage == "tpsf":
             run_reference_worker_tpsf(args)
+        elif args.stage == "mtsr":
+            run_reference_worker_mtsr(args)
         else:
             run_reference_worker(args)
         return
@@ -803,6 +1122,8 @@ def main() -> None:
     if args.report:  # reporting never regenerates anything
         if args.stage == "tpsf":
             tpsf_report(args.workdir)
+        elif args.stage == "mtsr":
+            report_all(os.path.join(args.workdir, "mtsr"))
         else:
             report_all(args.workdir)
         return
@@ -813,6 +1134,9 @@ def main() -> None:
 
     if args.stage == "tpsf":
         run_tpsf_stage(args)
+        return
+    if args.stage == "mtsr":
+        run_mtsr_stage(args)
         return
 
     if args.ours_only:
@@ -840,40 +1164,8 @@ def main() -> None:
             )
 
     ours_traj = run_ours(args)
-
-    n = min(len(ref_traj), len(ours_traj))
-    import math
-
-    hw = 4 * args.scale_factor
-    offset_db = 10 * math.log10(hw)  # divisor C*H vs the true H*W
-    print(
-        "\n(ref's logged PSNR carries its eval quirk: calculationPSNR gets"
-        f" (C,H,W) tensors -> divisor C*H={hw}, a constant -{offset_db:.2f} dB"
-        " vs the true per-map formula; 'shared eval' below scores both"
-        " frameworks with one implementation)"
-    )
-    print("epoch |   ref PSNR |  ours PSNR |  ref SSIM | ours SSIM |  ref loss | ours loss")
-    for e in range(n):
-        print(
-            f"{e:5d} | {ref_traj[e]['psnr']:10.3f} | {ours_traj[e]['psnr']:10.3f}"
-            f" | {ref_traj[e]['ssim']:9.4f} | {ours_traj[e]['ssim']:9.4f}"
-            f" | {ref_traj[e]['loss']:9.4f} | {ours_traj[e]['loss']:9.4f}"
-        )
-    final = shared_eval(args.workdir, ours_tag=args.preds_tag)
-    gap_psnr = final["ours"]["psnr"] - final["ref"]["psnr"]
-    gap_ssim = final["ours"]["ssim"] - final["ref"]["ssim"]
-    print(
-        "H2H_RESULT "
-        + json.dumps(
-            {
-                "epochs": n,
-                "ref_logged_final": ref_traj[n - 1] if n else None,
-                "ours_logged_final": ours_traj[n - 1] if n else None,
-                "shared_eval": final,
-                "psnr_gap_db": round(gap_psnr, 4),
-                "ssim_gap": round(gap_ssim, 5),
-            }
-        )
+    _print_sr_result(
+        ref_traj, ours_traj, args.workdir, args.preds_tag, args.scale_factor
     )
 
 
