@@ -72,9 +72,13 @@ def _parse_ref_sr_log(workdir: str, iters_per_epoch: int) -> list:
     ``Start training from iteration N`` and logs exactly one ``[test]``
     line per completed epoch (verified: a 12-epoch reference run logs 12),
     so a segment's k-th eval is epoch ``N // iters_per_epoch + k``; later
-    segments override earlier ones."""
+    segments override earlier ones.  ``iters_per_epoch`` is re-anchored to
+    the value the worker recorded in ``ref_meta.json`` (the caller's value
+    is derived from the CURRENT --batch, which may differ from the batch
+    the log was trained with)."""
     import re
 
+    iters_per_epoch = _recorded_iters_per_epoch(workdir, iters_per_epoch)
     log_path = os.path.join(workdir, "ref_work", "log_rank0.txt")
     if not os.path.exists(log_path):
         return []
@@ -115,6 +119,134 @@ def _sr_iters_per_epoch(args, train_path: str = None) -> int:
         )
     )
     return math.ceil(n / args.batch)
+
+
+def _write_ref_meta(preds_dir: str, args, train_path: str) -> None:
+    """Record the reference run's epoch geometry next to its dumps so later
+    ``--skip-ref`` / ``--report`` passes don't re-derive it from DIFFERENT
+    CLI args: iters/epoch depends on ``--batch``, and a mismatch silently
+    corrupts the reconstructed trajectory's epoch anchoring."""
+    meta = {
+        "batch": args.batch,
+        "epochs": args.epochs,
+        "iters_per_epoch": _sr_iters_per_epoch(args, train_path),
+    }
+    with open(os.path.join(preds_dir, "ref_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _recorded_iters_per_epoch(workdir: str, fallback: int) -> int:
+    """Prefer the ``ref_meta.json`` the reference worker recorded over a
+    value re-derived from the current CLI args (see _write_ref_meta)."""
+    meta_path = os.path.join(workdir, "ref_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded = json.load(f).get("iters_per_epoch")
+        if recorded:
+            if recorded != fallback:
+                print(
+                    f"(ref_meta.json records {recorded} iters/epoch; overriding"
+                    f" the current-args value {fallback} for epoch anchoring)"
+                )
+            return int(recorded)
+    return fallback
+
+
+def _role_of(npz, tag: str) -> str:
+    """Role of a prediction dump: the ``role`` field the dump helpers write,
+    else (legacy dumps) a filename heuristic — ``ref`` / ``ref_*`` tags are
+    the reference, everything else (any --preds-tag) is ours."""
+    if "role" in npz.files:
+        return str(npz["role"])
+    return "ref" if tag == "ref" or tag.startswith("ref_") else "ours"
+
+
+def _load_ref_sr_model(ref_module, cfg):
+    """Rebuild the reference architecture from its config and load its
+    latest checkpoint (shared by the SR and MTSR workers so the eval
+    protocol stays identical across stages)."""
+    import torch
+
+    ckpt = torch.load(
+        os.path.join(cfg["save_dir"], "checkpoints", "latest.pth"),
+        map_location="cpu",
+        weights_only=False,
+    )
+    model = ref_module.TactileSR(
+        scale_factor=cfg["scale_factor"],
+        seqsCnt=cfg["seqsCnt"],
+        axisCnt=cfg["axisCnt"],
+        patternFeatureExtraLayerCnt=cfg["patternFeatureExtraLayerCnt"],
+        forceFeatureExtraLayerCnt=cfg["forceFeatureExtraLayerCnt"],
+    )
+    model.load_state_dict(ckpt["model"])
+    model.eval()
+    return model
+
+
+def _dump_ref_sr_preds(model, ds, cfg, out_path: str) -> None:
+    """THE eval-protocol contract, reference side — ONE implementation for
+    both the SR and MTSR stages (a drifted copy would silently skew one
+    stage's dump and invalidate its head-to-head): slice LR to the recipe's
+    seqsCnt*axisCnt channels, scale + bilinearly resize HR to (4s,4s), run
+    the torch model, dump SR/HR (+role) for the shared evaluator."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from torch.utils.data import DataLoader
+
+    loader = DataLoader(ds, batch_size=cfg["test_batch_size"], shuffle=False)
+    preds, labels = [], []
+    hw = 4 * cfg["scale_factor"]
+    with torch.no_grad():
+        for LR, HR in loader:
+            LR = LR.type(torch.float32)[:, : cfg["seqsCnt"] * cfg["axisCnt"]]
+            HR = HR.type(torch.float32) / cfg["HR_scale_num"]
+            HR = F.interpolate(
+                HR, size=(hw, hw), mode="bilinear", align_corners=False
+            )
+            preds.append(model(LR).numpy())
+            labels.append(HR.numpy())
+    np.savez(
+        out_path,
+        SR=np.concatenate(preds),
+        HR=np.concatenate(labels),
+        role=np.array("ref"),
+    )
+
+
+def _ours_sr_traj(trainer) -> list:
+    """Per-epoch eval trajectory from the trainer's metric storage."""
+    storage = trainer.metric_storage
+    vals = {
+        k: storage[k].state_dict()["values"]
+        for k in ("test_loss", "test_SSIM", "test_PSNR")
+    }
+    return [
+        {"loss": l, "ssim": s, "psnr": p}
+        for l, s, p in zip(vals["test_loss"], vals["test_SSIM"], vals["test_PSNR"])
+    ]
+
+
+def _dump_ours_sr_preds(trainer, ds, cfg, out_path: str) -> None:
+    """THE eval-protocol contract, ours side — mirror of
+    _dump_ref_sr_preds, shared by the SR and MTSR stages."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.tasks.sr_task import prepare_sr_labels
+
+    lr_test, hr_test = ds.stacked()
+    out = trainer.model_apply(
+        jnp.asarray(lr_test[:, : cfg["seqsCnt"] * cfg["axisCnt"]]), train=False
+    )
+    np.savez(
+        out_path,
+        SR=np.asarray(out),
+        HR=prepare_sr_labels(hr_test, cfg),
+        role=np.array("ours"),
+    )
 
 
 def _capture_cpu_log() -> list:
@@ -216,6 +348,7 @@ def run_reference_worker(args) -> None:
     if args.ref_auto_resume:
         _force_ref_auto_resume(ref_train)
 
+    _write_ref_meta(args.workdir, args, cfg["train_dataset_dir"])
     ref_train.main(cfg)
 
     import re
@@ -235,39 +368,12 @@ def run_reference_worker(args) -> None:
     # utility/tools.py:59-60), whose divisor is shape[0]*shape[1] = C*H=40
     # instead of H*W=1600 -- a constant -10*log10(40) = -16.02 dB offset on
     # every logged value.
-    import numpy as np
-    import torch
-    import torch.nn.functional as F
-
-    ckpt = torch.load(
-        os.path.join(cfg["save_dir"], "checkpoints", "latest.pth"),
-        map_location="cpu",
-        weights_only=False,
-    )
-    model = ref_train.TactileSR(
-        scale_factor=cfg["scale_factor"],
-        seqsCnt=cfg["seqsCnt"],
-        axisCnt=cfg["axisCnt"],
-        patternFeatureExtraLayerCnt=cfg["patternFeatureExtraLayerCnt"],
-        forceFeatureExtraLayerCnt=cfg["forceFeatureExtraLayerCnt"],
-    )
-    model.load_state_dict(ckpt["model"])
-    model.eval()
-    ds = ref_train.TactileSRDataset(cfg["test_dataset_dir"])
-    loader = ref_train.DataLoader(ds, batch_size=cfg["test_batch_size"], shuffle=False)
-    preds, labels = [], []
-    hw = 4 * cfg["scale_factor"]
-    with torch.no_grad():
-        for LR, HR in loader:
-            LR = LR.type(torch.float32)[:, : cfg["seqsCnt"] * cfg["axisCnt"]]
-            HR = HR.type(torch.float32) / cfg["HR_scale_num"]
-            HR = F.interpolate(HR, size=(hw, hw), mode="bilinear", align_corners=False)
-            preds.append(model(LR).numpy())
-            labels.append(HR.numpy())
-    np.savez(
+    model = _load_ref_sr_model(ref_train, cfg)
+    _dump_ref_sr_preds(
+        model,
+        ref_train.TactileSRDataset(cfg["test_dataset_dir"]),
+        cfg,
         os.path.join(args.workdir, "ref_preds.npz"),
-        SR=np.concatenate(preds),
-        HR=np.concatenate(labels),
     )
     print("H2H_REF " + json.dumps(traj), flush=True)
 
@@ -307,33 +413,17 @@ def run_ours(args) -> list:
         head_init=args.head_init,
     )
     trainer = sr_main(cfg)
-    storage = trainer.metric_storage
-    vals = {
-        k: storage[k].state_dict()["values"]
-        for k in ("test_loss", "test_SSIM", "test_PSNR")
-    }
-    traj = [
-        {"loss": l, "ssim": s, "psnr": p}
-        for l, s, p in zip(vals["test_loss"], vals["test_SSIM"], vals["test_PSNR"])
-    ]
+    traj = _ours_sr_traj(trainer)
 
     # dump our trained model's predictions on the same test set for the
     # shared evaluator
-    import numpy as np
-
     from tactilesr_tpu.data.datasets import TactileSRDataset
-    from tactilesr_tpu.tasks.sr_task import prepare_sr_labels
 
-    lr_test, hr_test = TactileSRDataset(cfg["test_dataset_dir"]).stacked()
-    import jax.numpy as jnp
-
-    out = trainer.model_apply(
-        jnp.asarray(lr_test[:, : cfg["seqsCnt"] * cfg["axisCnt"]]), train=False
-    )
-    np.savez(
+    _dump_ours_sr_preds(
+        trainer,
+        TactileSRDataset(cfg["test_dataset_dir"]),
+        cfg,
         os.path.join(args.workdir, f"{args.preds_tag}_preds.npz"),
-        SR=np.asarray(out),
-        HR=prepare_sr_labels(hr_test, cfg),
     )
     return traj
 
@@ -422,8 +512,14 @@ def shared_eval(workdir: str, ours_tag: str = "tpu") -> dict:
             sr, hr = z["SR"], z["HR"]
         if label_ref is None:
             label_ref = hr
-        else:  # both frameworks must have scored against the same labels
-            np.testing.assert_allclose(hr, label_ref, rtol=1e-4, atol=1e-5)
+        elif hr.shape != label_ref.shape or not np.allclose(
+            hr, label_ref, rtol=1e-4, atol=1e-5
+        ):  # both frameworks must have scored against the same labels
+            raise ValueError(
+                f"{tag}_preds.npz holds labels different from ref_preds.npz's"
+                " -- the two sides did not eval the same test set (stale dump"
+                " from an earlier data draw? delete it or rerun that side)"
+            )
         ps = np.asarray(batched_psnr(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]), 250.0))
         ss = np.asarray(batched_ssim(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0])))
         mse = float(np.mean((sr - hr) ** 2))
@@ -537,6 +633,7 @@ def run_reference_worker_tpsf(args) -> None:
         os.path.join(args.workdir, "ref_tpsfpreds.npz"),
         DEG=np.concatenate(degs),
         LRZ=lr[:, 2:3].numpy(),
+        role=np.array("ref"),
     )
     print("H2H_TPSF_REF_DONE", flush=True)
 
@@ -595,6 +692,7 @@ def run_ours_tpsf(args) -> list:
         os.path.join(args.workdir, f"{args.preds_tag}_tpsfpreds.npz"),
         DEG=np.asarray(deg, np.float32),
         LRZ=np.asarray(lr_in[:, 2:3], np.float32),
+        role=np.array("ours"),
     )
     return traj
 
@@ -617,36 +715,50 @@ def tpsf_report(workdir: str) -> None:
     from tactilesr_tpu.metrics import batched_ssim
 
     rows = []
-    label_ref = None
-    for path in sorted(glob.glob(os.path.join(workdir, "*_tpsfpreds.npz"))):
+    label_ref, base_tag = None, None
+    paths = sorted(glob.glob(os.path.join(workdir, "*_tpsfpreds.npz")))
+    canonical = os.path.join(workdir, "ref_tpsfpreds.npz")
+    if canonical in paths:  # deterministic label baseline (see report_all)
+        paths.remove(canonical)
+        paths.insert(0, canonical)
+    for path in paths:
         tag = os.path.basename(path)[: -len("_tpsfpreds.npz")]
         with np.load(path) as z:
             deg, lrz = z["DEG"], z["LRZ"]
+            role = _role_of(z, tag)
         if label_ref is None:
-            label_ref = lrz
-        else:  # both frameworks must predict the same real readings
-            np.testing.assert_allclose(lrz, label_ref, rtol=1e-4, atol=1e-5)
+            label_ref, base_tag = lrz, tag
+        elif lrz.shape != label_ref.shape or not np.allclose(
+            lrz, label_ref, rtol=1e-4, atol=1e-5
+        ):  # both frameworks must predict the same real readings
+            print(
+                f"{tag:24} SKIPPED: real z readings differ from {base_tag}'s"
+                " (stale prediction set from another data draw?)"
+            )
+            continue
         mse = float(np.mean((deg - lrz) ** 2))
         ss = float(
             np.asarray(
                 batched_ssim(jnp.asarray(deg[:, 0]), jnp.asarray(lrz[:, 0]))
             ).mean()
         )
-        rows.append((tag, mse, ss))
+        rows.append((tag, role, mse, ss))
         print(f"{tag:24} MSE {mse:10.6f}  SSIM {ss:7.4f}")
-    ours = [r for r in rows if r[0].startswith("tpu")]
-    ref = [r for r in rows if r[0].startswith("ref")]
+    ours = [r for r in rows if r[1] == "ours"]
+    ref = [r for r in rows if r[1] == "ref"]
     if ours and ref:
+        best_ref = min(ref, key=lambda r: r[2])  # the strongest ref draw
+        best_ours = min(ours, key=lambda r: r[2])
         print(
             "H2H_TPSF "
             + json.dumps(
                 {
-                    "ref_mse": round(ref[-1][1], 6),
-                    "ref_ssim": round(ref[-1][2], 5),
-                    "ours_mse": round(ours[-1][1], 6),
-                    "ours_ssim": round(ours[-1][2], 5),
+                    "ref_mse": round(best_ref[2], 6),
+                    "ref_ssim": round(best_ref[3], 5),
+                    "ours_mse": round(best_ours[2], 6),
+                    "ours_ssim": round(best_ours[3], 5),
                     "mse_ratio_ours_over_ref": (
-                        round(ours[-1][1] / ref[-1][1], 4) if ref[-1][1] else None
+                        round(best_ours[2] / best_ref[2], 4) if best_ref[2] else None
                     ),
                 }
             )
@@ -746,6 +858,9 @@ def run_reference_worker_mtsr(args) -> None:
             *a, **{**k, "weights_only": False}
         )
 
+    _write_ref_meta(
+        os.path.join(args.workdir, "mtsr"), args, cfg["train_dataset_dir"]
+    )
     ref_seqs.main(cfg)
 
     import re
@@ -757,41 +872,12 @@ def run_reference_worker_mtsr(args) -> None:
         if m
     ]
 
-    import numpy as np
-    import torch
-    import torch.nn.functional as F
-
-    ckpt = torch.load(
-        os.path.join(cfg["save_dir"], "checkpoints", "latest.pth"),
-        map_location="cpu",
-        weights_only=False,
-    )
-    model = ref_seqs.TactileSR(
-        scale_factor=cfg["scale_factor"],
-        seqsCnt=cfg["seqsCnt"],
-        axisCnt=cfg["axisCnt"],
-        patternFeatureExtraLayerCnt=cfg["patternFeatureExtraLayerCnt"],
-        forceFeatureExtraLayerCnt=cfg["forceFeatureExtraLayerCnt"],
-    )
-    model.load_state_dict(ckpt["model"])
-    model.eval()
-    ds = ref_seqs.TactileSRDataset_seq(cfg["test_dataset_dir"])
-    loader = ref_seqs.DataLoader(
-        ds, batch_size=cfg["test_batch_size"], shuffle=False
-    )
-    preds, labels = [], []
-    hw = 4 * cfg["scale_factor"]
-    with torch.no_grad():
-        for LR, HR in loader:
-            LR = LR.type(torch.float32)[:, : cfg["seqsCnt"] * cfg["axisCnt"]]
-            HR = HR.type(torch.float32) / cfg["HR_scale_num"]
-            HR = F.interpolate(HR, size=(hw, hw), mode="bilinear", align_corners=False)
-            preds.append(model(LR).numpy())
-            labels.append(HR.numpy())
-    np.savez(
+    model = _load_ref_sr_model(ref_seqs, cfg)
+    _dump_ref_sr_preds(
+        model,
+        ref_seqs.TactileSRDataset_seq(cfg["test_dataset_dir"]),
+        cfg,
         os.path.join(args.workdir, "mtsr", "ref_preds.npz"),
-        SR=np.concatenate(preds),
-        HR=np.concatenate(labels),
     )
     print("H2H_REF " + json.dumps(traj), flush=True)
 
@@ -828,31 +914,15 @@ def run_ours_mtsr(args) -> list:
         head_init=args.head_init,
     )
     trainer = sr_main(cfg, seqs=True)
-    storage = trainer.metric_storage
-    vals = {
-        k: storage[k].state_dict()["values"]
-        for k in ("test_loss", "test_SSIM", "test_PSNR")
-    }
-    traj = [
-        {"loss": l, "ssim": s, "psnr": p}
-        for l, s, p in zip(vals["test_loss"], vals["test_SSIM"], vals["test_PSNR"])
-    ]
-
-    import numpy as np
-
-    import jax.numpy as jnp
+    traj = _ours_sr_traj(trainer)
 
     from tactilesr_tpu.data.datasets import TactileSRDatasetSeq
-    from tactilesr_tpu.tasks.sr_task import prepare_sr_labels
 
-    lr_test, hr_test = TactileSRDatasetSeq(cfg["test_dataset_dir"]).stacked()
-    out = trainer.model_apply(
-        jnp.asarray(lr_test[:, : cfg["seqsCnt"] * cfg["axisCnt"]]), train=False
-    )
-    np.savez(
+    _dump_ours_sr_preds(
+        trainer,
+        TactileSRDatasetSeq(cfg["test_dataset_dir"]),
+        cfg,
         os.path.join(args.workdir, "mtsr", f"{args.preds_tag}_preds.npz"),
-        SR=np.asarray(out),
-        HR=prepare_sr_labels(hr_test, cfg),
     )
     return traj
 
@@ -961,23 +1031,31 @@ def report_all(workdir: str) -> None:
     from tactilesr_tpu.metrics import batched_psnr, batched_ssim
 
     rows = []
-    label_ref = None
-    for path in sorted(glob.glob(os.path.join(workdir, "*_preds.npz"))):
+    label_ref, base_tag = None, None
+    paths = sorted(glob.glob(os.path.join(workdir, "*_preds.npz")))
+    # deterministic label baseline: the stage's own fresh reference dump
+    # when present, else the first file; every other file's labels must
+    # match it, and a same-shape-but-different-labels file (a stale dump
+    # from another data draw) is SKIPPED, not crashed on
+    canonical = os.path.join(workdir, "ref_preds.npz")
+    if canonical in paths:
+        paths.remove(canonical)
+        paths.insert(0, canonical)
+    for path in paths:
         tag = os.path.basename(path)[: -len("_preds.npz")]
         with np.load(path) as z:
             sr, hr = z["SR"], z["HR"]
+            role = _role_of(z, tag)
         if label_ref is None:
-            label_ref = hr
-        elif hr.shape != label_ref.shape:
-            # a leftover dump from a different test set / scale_factor is
-            # incomparable -- exclude it from the table AND the summary
+            label_ref, base_tag = hr, tag
+        elif hr.shape != label_ref.shape or not np.allclose(
+            hr, label_ref, rtol=1e-4, atol=1e-5
+        ):
             print(
-                f"{tag:24} SKIPPED: label shape {hr.shape} != "
-                f"{label_ref.shape} (stale prediction set from another run?)"
+                f"{tag:24} SKIPPED: labels differ from {base_tag}'s"
+                " (stale prediction set from another data draw?)"
             )
             continue
-        else:
-            np.testing.assert_allclose(hr, label_ref, rtol=1e-4, atol=1e-5)
         ps = float(
             np.asarray(
                 batched_psnr(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]), 250.0)
@@ -987,19 +1065,21 @@ def report_all(workdir: str) -> None:
             np.asarray(batched_ssim(jnp.asarray(sr[:, 0]), jnp.asarray(hr[:, 0]))).mean()
         )
         mse = float(np.mean((sr - hr) ** 2))
-        rows.append((tag, ps, ss, mse))
+        rows.append((tag, role, ps, ss, mse))
         print(f"{tag:24} PSNR {ps:7.3f} dB  SSIM {ss:7.4f}  MSE {mse:8.5f}")
-    ours = [r for r in rows if r[0].startswith("tpu")]
-    ref = [r for r in rows if r[0].startswith("ref")]
+    ours = [r for r in rows if r[1] == "ours"]
+    ref = [r for r in rows if r[1] == "ref"]
     if ours and ref:
-        ps = sorted(r[1] for r in ours)
+        ps = sorted(r[2] for r in ours)
+        best_ref = max(r[2] for r in ref)  # the strongest reference draw
         summary = {
-            "ref_psnr": round(ref[-1][1], 3),
+            "ref_psnr": round(best_ref, 3),
+            "n_ref": len(ref),
             "ours_psnr_min": round(ps[0], 3),
             "ours_psnr_median": round(ps[len(ps) // 2], 3),
             "ours_psnr_max": round(ps[-1], 3),
             "n_ours": len(ours),
-            "ref_within_ours_range": bool(ps[0] <= ref[-1][1] <= ps[-1]),
+            "ref_within_ours_range": bool(ps[0] <= best_ref <= ps[-1]),
         }
         print("H2H_REPORT " + json.dumps(summary))
 
@@ -1078,7 +1158,8 @@ def main() -> None:
         "--preds-tag",
         default="tpu",
         help="basename prefix for the predictions dump (ours-only runs "
-        "with several seeds use distinct tags)",
+        "with several seeds use distinct tags; any name works -- the dump "
+        "records its ref/ours role internally for --report)",
     )
     p.add_argument(
         "--head-init",

@@ -65,3 +65,69 @@ def test_parser_drops_earlier_aborted_full_runs(tmp_path):
 
 def test_parser_missing_log(tmp_path):
     assert _parse_ref_sr_log(str(tmp_path), iters_per_epoch=21) == []
+
+
+def test_parser_prefers_recorded_iters_per_epoch(tmp_path):
+    """A ref_meta.json written by the worker pins the epoch anchoring even
+    when the report/skip-ref pass runs with a different --batch (which
+    would re-derive a different iters_per_epoch and mis-slot resumed
+    segments)."""
+    import json
+
+    # resumed segment starts at iteration 252; at the TRUE 21 iters/epoch
+    # that anchors epoch 12, at a wrong 42 it would anchor epoch 6
+    text = (
+        START.format(i=0)
+        + _evals(0, 20)
+        + START.format(i=252)
+        + "".join(LINE.format(l=0.5, s=0.95, p=100.0 + e) for e in range(12, 25))
+    )
+    wd = _write_log(tmp_path, text)
+    (tmp_path / "ref_meta.json").write_text(
+        json.dumps({"batch": 32, "epochs": 25, "iters_per_epoch": 21})
+    )
+    traj = _parse_ref_sr_log(wd, iters_per_epoch=42)  # stale current-args value
+    assert len(traj) == 25
+    assert traj[12]["psnr"] == 112.0
+
+
+def _fake_preds(path, hr, role=None, sr_bias=0.0):
+    import numpy as np
+
+    arrays = {"SR": hr + sr_bias, "HR": hr}
+    if role is not None:
+        arrays["role"] = np.array(role)
+    np.savez(path, **arrays)
+
+
+def test_report_roles_and_stale_skip(tmp_path, capsys):
+    """--report classifies by the recorded role (any --preds-tag counts as
+    ours; a 'refit' tag is NOT mistaken for a reference run) and SKIPS a
+    same-shape dump whose labels come from another data draw instead of
+    crashing."""
+    import json
+
+    import numpy as np
+
+    from head_to_head import report_all
+
+    rng = np.random.default_rng(0)
+    hr = rng.uniform(0.0, 5.0, size=(6, 1, 40, 40)).astype(np.float32)
+    _fake_preds(tmp_path / "ref_preds.npz", hr, role="ref", sr_bias=0.3)
+    _fake_preds(tmp_path / "refit_preds.npz", hr, role="ours", sr_bias=0.1)
+    _fake_preds(tmp_path / "mystudy_preds.npz", hr, role="ours", sr_bias=0.2)
+    # legacy dump without a role field: tpu* prefix heuristic applies
+    _fake_preds(tmp_path / "tpu_s9_preds.npz", hr, sr_bias=0.15)
+    # stale same-shape dump from a different data draw: must be skipped
+    _fake_preds(tmp_path / "tpu_stale_preds.npz", hr + 1.7, role="ours")
+
+    report_all(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "tpu_stale" in out and "SKIPPED" in out
+    summary = json.loads(
+        [l for l in out.splitlines() if l.startswith("H2H_REPORT ")][-1][
+            len("H2H_REPORT "):
+        ]
+    )
+    assert summary["n_ours"] == 3  # refit + mystudy + tpu_s9, not the stale one
+    assert summary["n_ref"] == 1
