@@ -30,6 +30,12 @@ def main() -> int:
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--bn-stats-dtype", default=None, help="config override")
+    p.add_argument(
+        "--seqs-cnt",
+        type=int,
+        default=1,
+        help="frames per sample (7 profiles the MTSR step instead of STSR)",
+    )
     args = p.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="sr_train_trace_")
 
@@ -53,16 +59,20 @@ def main() -> int:
     batch, steps = args.batch, args.steps
     cfg = dict(tactileSR_config)
     cfg.update(
-        save_dir=f"/tmp/profile_train_{batch}", train_batch_size=batch, warmup_t=0
+        save_dir=f"/tmp/profile_train_{batch}",
+        train_batch_size=batch,
+        warmup_t=0,
+        seqsCnt=args.seqs_cnt,
     )
     if args.bn_stats_dtype:
         cfg["bn_stats_dtype"] = args.bn_stats_dtype
     n = batch * steps
-    lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
+    chans = cfg["seqsCnt"] * cfg["axisCnt"]
+    lr = (rng.random((n, chans, 4, 4)) * 4).astype(np.float32)
     hr = (rng.random((n, 1, 100, 100)) * 50).astype(np.float32)
     model = build_model(cfg)
     v = jax.device_get(
-        model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+        model.init(jax.random.key(0), jnp.zeros((1, chans, 4, 4)), train=False)
     )
     tr = SRTrainer(
         config=cfg,
