@@ -215,8 +215,42 @@ def _dump_ref_sr_preds(model, ds, cfg, out_path: str) -> None:
     )
 
 
-def _ours_sr_traj(trainer) -> list:
-    """Per-epoch eval trajectory from the trainer's metric storage."""
+def _capture_our_log() -> list:
+    """Attach a handler to OUR framework's logger and return the live list
+    its messages append to.  Needed because MetricStorage's HistoryBuffer
+    keeps only the last window_size=20 values (the reference's contract,
+    cpu/history_buffer.py) — reading the storage after a >20-epoch run
+    yields a tail-truncated trajectory that would misalign against the
+    reference's full per-epoch table."""
+    records: list = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logging.getLogger("tactilesr_tpu").addHandler(_Capture())
+    return records
+
+
+def _ours_sr_traj(trainer, records: list = None) -> list:
+    """Per-epoch eval trajectory: parsed from the captured log (full
+    length) when available, else from the trainer's metric storage (last
+    20 epochs only — see _capture_our_log)."""
+    import re
+
+    if records is not None:
+        traj = [
+            {
+                "loss": float(m.group(1)),
+                "ssim": float(m.group(2)),
+                "psnr": float(m.group(3)),
+            }
+            for line in records
+            for m in [re.search(EVAL_RE, line)]
+            if m
+        ]
+        if traj:
+            return traj
     storage = trainer.metric_storage
     vals = {
         k: storage[k].state_dict()["values"]
@@ -286,6 +320,12 @@ def _print_sr_result(ref_traj, ours_traj, preds_dir, ours_tag, scale_factor):
     import math
 
     n = min(len(ref_traj), len(ours_traj))
+    if len(ref_traj) != len(ours_traj):
+        print(
+            f"(trajectory lengths differ: ref {len(ref_traj)} vs ours"
+            f" {len(ours_traj)} epochs -- table shows the first {n};"
+            " rows pair by POSITION, so a truncated side misaligns)"
+        )
     hw = 4 * scale_factor
     offset_db = 10 * math.log10(hw)  # divisor C*H vs the true H*W
     print(
@@ -412,8 +452,9 @@ def run_ours(args) -> list:
         matmul_precision=args.matmul_precision,
         head_init=args.head_init,
     )
+    records = _capture_our_log()
     trainer = sr_main(cfg)
-    traj = _ours_sr_traj(trainer)
+    traj = _ours_sr_traj(trainer, records)
 
     # dump our trained model's predictions on the same test set for the
     # shared evaluator
@@ -661,15 +702,25 @@ def run_ours_tpsf(args) -> list:
         data_parallel="off",
         matmul_precision=args.matmul_precision,
     )
+    records = _capture_our_log()
     trainer = tpsf_main(cfg)
-    storage = trainer.metric_storage
+    import re
+
     traj = [
-        {"mse": m, "ssim": s}
-        for m, s in zip(
-            storage["Eval Metric"].state_dict()["values"],
-            storage["eval_ssim"].state_dict()["values"],
-        )
+        {"mse": float(m.group(1)), "ssim": float(m.group(2))}
+        for line in records
+        for m in [re.search(TPSF_EVAL_RE, line)]
+        if m
     ]
+    if not traj:  # fallback: last-20-epochs view (see _capture_our_log)
+        storage = trainer.metric_storage
+        traj = [
+            {"mse": m, "ssim": s}
+            for m, s in zip(
+                storage["Eval Metric"].state_dict()["values"],
+                storage["eval_ssim"].state_dict()["values"],
+            )
+        ]
 
     import jax.numpy as jnp
     import numpy as np
@@ -913,8 +964,9 @@ def run_ours_mtsr(args) -> list:
         matmul_precision=args.matmul_precision,
         head_init=args.head_init,
     )
+    records = _capture_our_log()
     trainer = sr_main(cfg, seqs=True)
-    traj = _ours_sr_traj(trainer)
+    traj = _ours_sr_traj(trainer, records)
 
     from tactilesr_tpu.data.datasets import TactileSRDatasetSeq
 

@@ -131,3 +131,19 @@ def test_report_roles_and_stale_skip(tmp_path, capsys):
     )
     assert summary["n_ours"] == 3  # refit + mystudy + tpu_s9, not the stale one
     assert summary["n_ref"] == 1
+
+
+def test_ours_traj_prefers_captured_log_over_window20_storage():
+    """MetricStorage's HistoryBuffer keeps only the last 20 values (the
+    reference's window contract), so a 51-epoch ours trajectory read from
+    storage would be tail-truncated and misalign against the reference's
+    full table; the captured-log path must return ALL epochs."""
+    from head_to_head import _ours_sr_traj
+
+    records = [
+        f"==> [test] loss: {1.0 / (e + 1):.4f}, SSIM: 0.9000, PSNR: {30.0 + e:.4f}"
+        for e in range(51)
+    ] + ["unrelated log line"]
+    traj = _ours_sr_traj(trainer=None, records=records)  # trainer unused
+    assert len(traj) == 51
+    assert traj[0]["psnr"] == 30.0 and traj[50]["psnr"] == 80.0
