@@ -37,6 +37,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def require_device(timeout_s: float = 600.0):
+    """Fail FAST if PJRT backend init never completes (dead tunnel).
+
+    ``jax.devices()`` on the tunneled axon backend can block forever when
+    the remote end is down — observed 2026-08-18 — which would hang the
+    whole benchmark before the first drain poll.  Init runs in a daemon
+    thread with a deadline; on timeout we exit(1) with a clear message
+    (there is no honest number to print)."""
+    import threading
+
+    box = {}
+
+    def _init():
+        import jax
+
+        box["dev"] = jax.devices()[0]
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "dev" not in box:
+        log(
+            f"FATAL: jax backend init did not complete within {timeout_s:.0f}s"
+            " (TPU tunnel down?) -- aborting instead of hanging"
+        )
+        os._exit(1)
+    return box["dev"]
+
+
 def wait_for_quiet(jnp, jax, patience_s: float = 300.0) -> None:
     x = jnp.ones((8, 128))
     deadline = time.time() + patience_s
@@ -56,6 +85,7 @@ def bench_train():
     STSR train step (fwd+bwd+Adam+BN update), vs the reference's measured
     torch-CPU rate at B=32 on this machine (see
     scripts/measure_ref_baseline.py for the provenance of ``ref_cpu``)."""
+    require_device()
     import jax
     import jax.numpy as jnp
 
@@ -118,6 +148,7 @@ def bench_tpsf():
     """Physics-path benchmark: fused batch-tiled Pallas kernel vs the XLA
     separable formulation at B=1024 (the tPSFNet hot op), interleaved A/B.
     ``vs_baseline`` = pallas / xla (>1 means the kernel wins)."""
+    require_device()
     import jax
     import jax.numpy as jnp
 
@@ -174,6 +205,7 @@ def bench_tpsf():
 
 
 def main():
+    dev = require_device()
     import jax
     import jax.numpy as jnp
 
@@ -183,7 +215,6 @@ def main():
     )
     from tactilesr_tpu.models.tactile_sr import TactileSR
 
-    dev = jax.devices()[0]
     log(f"device: {dev}")
     wait_for_quiet(jnp, jax)
 
