@@ -78,3 +78,17 @@ def test_apply_matmul_precision_sets_and_resets():
         assert jax.config.jax_default_matmul_precision is None
     finally:
         jax.config.update("jax_default_matmul_precision", flag)
+
+
+def test_bench_require_device_returns_on_live_backend():
+    """bench.require_device must pass straight through when the backend
+    initializes (the CPU backend here); its timeout path is for dead
+    tunnels, where jax.devices() blocks forever."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    dev = bench.require_device(timeout_s=120)
+    assert dev is jax.devices()[0]
