@@ -204,3 +204,21 @@ def test_model_arch_srcnn_trains(tmp_path, rng):
     )
     trainer.train(auto_resume=False)
     assert np.isfinite(trainer.metric_storage["total_loss"].latest)
+
+
+def test_scale_depth_by_force():
+    """depth *= sum(LR_z) * 0.01 in place, per the reference's dataset scaler
+    (utility/raw_data_process.py:52-55)."""
+    from tactilesr_tpu.data.raw_process import scale_depth_by_force
+
+    rng = np.random.default_rng(3)
+    samples = [
+        {"LR": rng.random((3, 4, 4)).astype(np.float32),
+         "depth": rng.random((100, 100)).astype(np.float32)}
+        for _ in range(3)
+    ]
+    want = [s["depth"] * s["LR"][2].sum() * 0.01 for s in samples]
+    got = scale_depth_by_force(samples)
+    assert got is samples  # in-place, returns the same list
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["depth"], w, rtol=1e-6)
