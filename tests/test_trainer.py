@@ -249,3 +249,47 @@ def test_dataset_smaller_than_batch(tmp_path, rng):
     assert trainer.epoch_len == 1
     trainer.train(auto_resume=False)
     assert np.isfinite(trainer.metric_storage["total_loss"].latest)
+
+
+def test_seqs_warmup_gate(tmp_path):
+    """Parity gate: the seqs (MTSR) recipe wires NO warmup unless
+    seqs_use_warmup=true opts in (the reference's seqs entry passes no
+    warmup args; tasks/sr_task.py:355-360)."""
+    import numpy as np
+
+    from tactilesr_tpu.config.default import tactileSeqs_config
+    from tactilesr_tpu.tasks import sr_task
+
+    rng = np.random.default_rng(0)
+    lr_arr = (rng.random((8, 21, 4, 4)) * 4).astype(np.float32)
+    hr = 6.0 * np.repeat(np.repeat(lr_arr[:, 2:3], 25, 2), 25, 3).astype(np.float32)
+    npz = str(tmp_path / "seqs.npz")
+    np.savez(npz, LR=lr_arr, HR=hr)
+
+    def run(tag, **extra):
+        cfg = dict(tactileSeqs_config)
+        cfg.update(
+            train_dataset_dir=npz,
+            test_dataset_dir=npz,
+            save_dir=str(tmp_path / tag),
+            load_checkpoint_dir=str(tmp_path / "missing.ckpt"),  # from scratch
+            train_batch_size=8,
+            test_batch_size=8,
+            patternFeatureExtraLayerCnt=1,
+            forceFeatureExtraLayerCnt=1,
+            scale_factor=4,
+            warmup_t=100,
+            warmup_mode="fix",
+            warmup_init_lr=1e-9,
+            compute_dtype="float32",
+            inference_test=False,
+            **extra,
+        )
+        trainer = sr_task.main(cfg, seqs=True, max_epochs=1)
+        return trainer.metric_storage["lr"].latest, cfg["lr"]
+
+    lr_off, base = run("off")
+    assert lr_off == pytest.approx(base)  # warmup ignored by default
+
+    lr_on, base = run("on", seqs_use_warmup=True)
+    assert lr_on < base  # inside the 100-iter warmup ramp after 1 iter
