@@ -88,3 +88,60 @@ def test_train_cli_stsr_with_yaml_and_flag_overrides(tmp_path):
     assert "epoch_0.ckpt" in ckpts and "latest.ckpt" in ckpts
     assert "epoch_1.ckpt" not in ckpts  # --epochs 1 beat the YAML's 3
     assert os.path.exists(os.path.join(save_dir, "log_rank0.txt"))
+
+
+def test_serving_cli_evaluate_and_output(tmp_path):
+    """`python -m tactilesr_tpu.serving` end to end: loads a checkpoint,
+    predicts an .npz batch, reports a JSON line with PSNR/SSIM (--evaluate),
+    and writes the SR maps (--output)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.models.tactile_sr import TactileSR
+    from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v = jax.device_get(
+        model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint_file(
+        ckpt,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+
+    rng = np.random.default_rng(1)
+    lr = (rng.random((6, 3, 4, 4)) * 4).astype(np.float32)
+    hr = 6.0 * np.repeat(np.repeat(lr[:, 2:3], 25, 2), 25, 3).astype(np.float32)
+    inp = str(tmp_path / "input.npz")
+    outp = str(tmp_path / "out.npz")
+    np.savez(inp, LR=lr, HR=hr)
+
+    r = _run(
+        [
+            sys.executable, "-m", "tactilesr_tpu.serving",
+            "--checkpoint", ckpt, "--input", inp, "--output", outp,
+            "--scale-factor", "4", "--pattern-layers", "1",
+            "--compute-dtype", "float32", "--evaluate",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    json_lines = [
+        ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    assert json_lines, r.stdout
+    report = json.loads(json_lines[-1])
+    assert report["frames"] == 6
+    assert report["output_shape"] == [6, 1, 16, 16]
+    assert np.isfinite(report["psnr_db"]) and np.isfinite(report["ssim"])
+    with np.load(outp) as z:
+        assert z["SR"].shape == (6, 1, 16, 16)
