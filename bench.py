@@ -50,13 +50,19 @@ def require_device(timeout_s: float = 600.0):
     box = {}
 
     def _init():
-        import jax
+        try:
+            import jax
 
-        box["dev"] = jax.devices()[0]
+            box["dev"] = jax.devices()[0]
+        except BaseException as e:  # report, don't misdiagnose as a hang
+            box["err"] = e
 
     th = threading.Thread(target=_init, daemon=True)
     th.start()
     th.join(timeout_s)
+    if "err" in box:
+        log(f"FATAL: jax backend init failed: {box['err']!r}")
+        os._exit(1)
     if "dev" not in box:
         log(
             f"FATAL: jax backend init did not complete within {timeout_s:.0f}s"

@@ -121,17 +121,28 @@ def _sr_iters_per_epoch(args, train_path: str = None) -> int:
     return math.ceil(n / args.batch)
 
 
-def _write_ref_meta(preds_dir: str, args, train_path: str) -> None:
+def _write_ref_meta(
+    preds_dir: str, args, train_path: str, resume: bool = False
+) -> None:
     """Record the reference run's epoch geometry next to its dumps so later
     ``--skip-ref`` / ``--report`` passes don't re-derive it from DIFFERENT
     CLI args: iters/epoch depends on ``--batch``, and a mismatch silently
-    corrupts the reconstructed trajectory's epoch anchoring."""
+    corrupts the reconstructed trajectory's epoch anchoring.
+
+    On a ``--ref-auto-resume`` continuation the ORIGINAL run's meta stays
+    authoritative: overwriting it with geometry derived from the resume's
+    (possibly different) CLI args would mis-anchor the old log segments —
+    the exact corruption this file exists to prevent."""
+    meta_path = os.path.join(preds_dir, "ref_meta.json")
+    if resume and os.path.exists(meta_path):
+        print(f"(resume: keeping the original {meta_path})")
+        return
     meta = {
         "batch": args.batch,
         "epochs": args.epochs,
         "iters_per_epoch": _sr_iters_per_epoch(args, train_path),
     }
-    with open(os.path.join(preds_dir, "ref_meta.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
 
 
@@ -215,21 +226,80 @@ def _dump_ref_sr_preds(model, ds, cfg, out_path: str) -> None:
     )
 
 
-def _capture_our_log() -> list:
-    """Attach a handler to OUR framework's logger and return the live list
-    its messages append to.  Needed because MetricStorage's HistoryBuffer
-    keeps only the last window_size=20 values (the reference's contract,
-    cpu/history_buffer.py) — reading the storage after a >20-epoch run
-    yields a tail-truncated trajectory that would misalign against the
-    reference's full per-epoch table."""
+def _capture_log(logger_name: str) -> list:
+    """Attach a handler to ``logger_name`` and return the live list its
+    messages append to."""
     records: list = []
 
     class _Capture(logging.Handler):
         def emit(self, record):
             records.append(record.getMessage())
 
-    logging.getLogger("tactilesr_tpu").addHandler(_Capture())
+    logging.getLogger(logger_name).addHandler(_Capture())
     return records
+
+
+def _majority_label_first(paths: list, read_labels) -> list:
+    """Order dump paths so the first one carries the MAJORITY label set.
+
+    Used when no canonical ref dump pins the label baseline: the baseline
+    used to be whichever file sorted first, so a stale dump from another
+    data draw could become the reference everything else is 'SKIPPED'
+    against.  Group dumps by allclose-equal labels and lead with the
+    largest group (ties: the most recently written dump)."""
+    import numpy as np
+
+    if len(paths) <= 1:
+        return paths
+    labels = [read_labels(p) for p in paths]
+    groups: list = []  # lists of indices into paths
+    for i, lab in enumerate(labels):
+        for g in groups:
+            ref = labels[g[0]]
+            if lab.shape == ref.shape and np.allclose(
+                lab, ref, rtol=1e-4, atol=1e-5
+            ):
+                g.append(i)
+                break
+        else:
+            groups.append([i])
+    if len(groups) == 1:
+        return paths
+    groups.sort(
+        key=lambda g: (len(g), max(os.path.getmtime(paths[i]) for i in g)),
+        reverse=True,
+    )
+    lead = groups[0][0]
+    return [paths[lead]] + [p for i, p in enumerate(paths) if i != lead]
+
+
+def _ours_jax_preamble():
+    """Shared ours-side setup: pin the platform (TACTILESR_PLATFORM beats
+    any sitecustomize default), make the repo importable, and drain a
+    tunneled TPU that a previously killed client may have wedged (see
+    bench.py) before dispatching anything.  Returns the jax module."""
+    import jax
+
+    jax.config.update(
+        "jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu")
+    )
+    sys.path.insert(0, REPO)
+    if jax.default_backend() not in ("cpu",):
+        import jax.numpy as jnp
+
+        import bench
+
+        bench.wait_for_quiet(jnp, jax)
+    return jax
+
+
+def _capture_our_log() -> list:
+    """Capture OUR framework's logger.  Needed because MetricStorage's
+    HistoryBuffer keeps only the last window_size=20 values (the
+    reference's contract, cpu/history_buffer.py) — reading the storage
+    after a >20-epoch run yields a tail-truncated trajectory that would
+    misalign against the reference's full per-epoch table."""
+    return _capture_log("tactilesr_tpu")
 
 
 def _ours_sr_traj(trainer, records: list = None) -> list:
@@ -284,16 +354,8 @@ def _dump_ours_sr_preds(trainer, ds, cfg, out_path: str) -> None:
 
 
 def _capture_cpu_log() -> list:
-    """Attach a handler to the reference's ``cpu`` logger and return the
-    live list its messages append to."""
-    records: list = []
-
-    class _Capture(logging.Handler):
-        def emit(self, record):
-            records.append(record.getMessage())
-
-    logging.getLogger("cpu").addHandler(_Capture())
-    return records
+    """Capture the reference's ``cpu`` logger (see _capture_log)."""
+    return _capture_log("cpu")
 
 
 def _force_ref_auto_resume(ref_module) -> None:
@@ -388,7 +450,9 @@ def run_reference_worker(args) -> None:
     if args.ref_auto_resume:
         _force_ref_auto_resume(ref_train)
 
-    _write_ref_meta(args.workdir, args, cfg["train_dataset_dir"])
+    _write_ref_meta(
+        args.workdir, args, cfg["train_dataset_dir"], resume=args.ref_auto_resume
+    )
     ref_train.main(cfg)
 
     import re
@@ -420,18 +484,7 @@ def run_reference_worker(args) -> None:
 
 # -------------------------------------------------------------------- ours
 def run_ours(args) -> list:
-    import jax
-
-    jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
-    sys.path.insert(0, REPO)
-    if jax.default_backend() not in ("cpu",):
-        # tunneled TPUs can be wedged by previously killed clients; drain
-        # before dispatching anything (see bench.py)
-        import jax.numpy as jnp
-
-        import bench
-
-        bench.wait_for_quiet(jnp, jax)
+    _ours_jax_preamble()
     from tactilesr_tpu.config.default import tactileSR_config
     from tactilesr_tpu.tasks.sr_task import main as sr_main
 
@@ -680,16 +733,7 @@ def run_reference_worker_tpsf(args) -> None:
 
 
 def run_ours_tpsf(args) -> list:
-    import jax
-
-    jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
-    sys.path.insert(0, REPO)
-    if jax.default_backend() not in ("cpu",):
-        import jax.numpy as jnp
-
-        import bench
-
-        bench.wait_for_quiet(jnp, jax)
+    _ours_jax_preamble()
     from tactilesr_tpu.config.default import tPSFNet_config
     from tactilesr_tpu.tasks.tpsf_task import main as tpsf_main
 
@@ -772,6 +816,12 @@ def tpsf_report(workdir: str) -> None:
     if canonical in paths:  # deterministic label baseline (see report_all)
         paths.remove(canonical)
         paths.insert(0, canonical)
+    else:  # no ref dump: lead with the majority label set, not sort order
+        def _read_lrz(p):
+            with np.load(p) as z:
+                return z["LRZ"]
+
+        paths = _majority_label_first(paths, _read_lrz)
     for path in paths:
         tag = os.path.basename(path)[: -len("_tpsfpreds.npz")]
         with np.load(path) as z:
@@ -910,7 +960,10 @@ def run_reference_worker_mtsr(args) -> None:
         )
 
     _write_ref_meta(
-        os.path.join(args.workdir, "mtsr"), args, cfg["train_dataset_dir"]
+        os.path.join(args.workdir, "mtsr"),
+        args,
+        cfg["train_dataset_dir"],
+        resume=args.ref_auto_resume,
     )
     ref_seqs.main(cfg)
 
@@ -934,16 +987,7 @@ def run_reference_worker_mtsr(args) -> None:
 
 
 def run_ours_mtsr(args) -> list:
-    import jax
-
-    jax.config.update("jax_platforms", os.environ.get("TACTILESR_PLATFORM", "cpu"))
-    sys.path.insert(0, REPO)
-    if jax.default_backend() not in ("cpu",):
-        import jax.numpy as jnp
-
-        import bench
-
-        bench.wait_for_quiet(jnp, jax)
+    _ours_jax_preamble()
     from tactilesr_tpu.config.default import tactileSeqs_config
     from tactilesr_tpu.tasks.sr_task import main as sr_main
 
@@ -1093,6 +1137,12 @@ def report_all(workdir: str) -> None:
     if canonical in paths:
         paths.remove(canonical)
         paths.insert(0, canonical)
+    else:  # no ref dump: lead with the majority label set, not sort order
+        def _read_hr(p):
+            with np.load(p) as z:
+                return z["HR"]
+
+        paths = _majority_label_first(paths, _read_hr)
     for path in paths:
         tag = os.path.basename(path)[: -len("_preds.npz")]
         with np.load(path) as z:
@@ -1128,7 +1178,7 @@ def report_all(workdir: str) -> None:
             "ref_psnr": round(best_ref, 3),
             "n_ref": len(ref),
             "ours_psnr_min": round(ps[0], 3),
-            "ours_psnr_median": round(ps[len(ps) // 2], 3),
+            "ours_psnr_median": round(float(np.median(ps)), 3),
             "ours_psnr_max": round(ps[-1], 3),
             "n_ours": len(ours),
             "ref_within_ours_range": bool(ps[0] <= best_ref <= ps[-1]),

@@ -161,15 +161,29 @@ def export_checkpoint_file(
     ckpt_path: str, pth_path: str, arch: str = "tactileSR"
 ) -> str:
     """One-shot reverse migration: our msgpack ``.ckpt`` bundle -> a torch
-    ``.pth`` in the reference trainer's own bundle format (a dict with a
-    ``model`` state_dict entry, the shape its resume path reads)."""
+    ``.pth`` holding a ``model`` state_dict entry — the shape the
+    reference's *model-loading* paths read (``model_param_init`` trunk
+    transfer, tactileSRSeqs_train.py:43-59, and the strict=False model load
+    inside ``Trainer.load_checkpoint``).  Full *resume* state (optimizer,
+    scheduler, metric storage — torch-object pickles the reference
+    unpickles by its own class paths) is framework-specific and is NOT
+    exported; ``num_gpus``/``epoch`` are included for completeness but a
+    reference resume also needs the missing keys."""
     import torch
 
     from ..runtime.checkpoint import load_checkpoint_file
 
     bundle = load_checkpoint_file(ckpt_path)
     sd = _EXPORTERS[arch](bundle["model"])
-    torch.save({"model": sd, "exported_from": ckpt_path}, pth_path)
+    torch.save(
+        {
+            "model": sd,
+            "num_gpus": int(bundle.get("num_devices", 1)),
+            "epoch": int(bundle.get("epoch", 0)),
+            "exported_from": ckpt_path,
+        },
+        pth_path,
+    )
     logger.info("exported %s (%s) -> %s", ckpt_path, arch, pth_path)
     return pth_path
 

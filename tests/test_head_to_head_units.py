@@ -147,3 +147,52 @@ def test_ours_traj_prefers_captured_log_over_window20_storage():
     traj = _ours_sr_traj(trainer=None, records=records)  # trainer unused
     assert len(traj) == 51
     assert traj[0]["psnr"] == 30.0 and traj[50]["psnr"] == 80.0
+
+
+def test_majority_label_first(tmp_path):
+    """With no canonical ref dump, the label baseline must come from the
+    MAJORITY allclose-group of dumps, not whichever filename sorts first."""
+    import time
+
+    import numpy as np
+
+    from head_to_head import _majority_label_first
+
+    fresh = np.full((4, 1, 8, 8), 2.0, np.float32)
+    stale = np.zeros((4, 1, 8, 8), np.float32)
+    paths = []
+    for name, lab in [("a_old", stale), ("tpu_s0", fresh), ("tpu_s1", fresh)]:
+        p = str(tmp_path / f"{name}_preds.npz")
+        np.savez(p, SR=lab, HR=lab)
+        paths.append(p)
+    time.sleep(0.01)
+    os.utime(paths[1])  # fresh dumps are newer
+
+    def read_hr(p):
+        with np.load(p) as z:
+            return z["HR"]
+
+    ordered = _majority_label_first(sorted(paths), read_hr)
+    assert os.path.basename(ordered[0]).startswith("tpu_")  # majority leads
+    assert sorted(ordered) == sorted(paths)  # nothing dropped
+
+    # single group: order untouched
+    same = _majority_label_first(sorted(paths[1:]), read_hr)
+    assert same == sorted(paths[1:])
+
+
+def test_write_ref_meta_resume_keeps_original(tmp_path):
+    """--ref-auto-resume must NOT overwrite the original run's recorded
+    epoch geometry (a resume with different --batch would mis-anchor the
+    old log segments)."""
+    import json
+    import types
+
+    from head_to_head import _write_ref_meta
+
+    meta_path = tmp_path / "ref_meta.json"
+    meta_path.write_text(json.dumps({"batch": 32, "epochs": 20, "iters_per_epoch": 21}))
+
+    args = types.SimpleNamespace(batch=64, epochs=20, workdir=str(tmp_path))
+    _write_ref_meta(str(tmp_path), args, train_path="unused", resume=True)
+    assert json.loads(meta_path.read_text())["iters_per_epoch"] == 21  # kept
