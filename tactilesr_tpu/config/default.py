@@ -72,6 +72,14 @@ tPSFNet_config = {
     # ops/pallas/tpsf_kernel.py).  "auto" = on for TPU backends, off
     # elsewhere (interpret mode is for tests, not training speed)
     "use_pallas_physics": "auto",
+    # in-kernel matmul precision for the Pallas physics: "highest" is the
+    # f32 parity default (the XLA path and the torch reference are f32);
+    # "default" lowers the kernel's matmuls to one bf16 MXU pass -- measured
+    # ~1.33x physics throughput at generation-scale batches at 2e-3 relative
+    # LR deviation (docs/PERF.md).  Pallas-only: the XLA physics path stays
+    # pinned to explicit f32-HIGHEST (it is the parity/golden reference and
+    # the custom_vjp backward).
+    "physics_precision": "highest",
     # inference-test params (alpha/beta-vs-force curves)
     "inference_test": True,
     "inference_index": 36,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.tpsf_net import TPSFNet
+from ..ops.psf import resolve_pallas_physics, resolve_physics_precision
 from ..runtime.checkpoint import load_checkpoint_file
 from .datasets import TPSFNetDataset
 
@@ -50,8 +51,24 @@ SINGLE_SPLITS = {
 }
 
 
-def _load_tpsf(checkpoint_path: str, gama: float = 1.4, perception_scale=None):
-    model = TPSFNet(gama=gama, perception_scale=perception_scale)
+def _load_tpsf(
+    checkpoint_path: str,
+    gama: float = 1.4,
+    perception_scale=None,
+    use_pallas="auto",
+    physics_precision="highest",
+):
+    """Generation is the biggest-batch physics workload in the framework, so
+    it gets the same kernel knobs as training: ``use_pallas`` (auto = TPU)
+    and ``physics_precision`` ("default" = one-pass bf16 matmuls, measured
+    +33% physics throughput at B=8192 on the v5e at 2e-3 rel LR deviation
+    -- docs/PERF.md)."""
+    model = TPSFNet(
+        gama=gama,
+        perception_scale=perception_scale,
+        use_pallas=resolve_pallas_physics({"use_pallas_physics": use_pallas}),
+        physics_precision=resolve_physics_precision(physics_precision),
+    )
     bundle = load_checkpoint_file(checkpoint_path)
     params = bundle["model"]["params"]
     return model, params
@@ -129,9 +146,15 @@ def generate_single_srdataset(
     gama: float = 1.4,
     legacy_npy: bool = False,
     splits: Optional[Dict[str, Sequence[int]]] = None,
+    use_pallas="auto",
+    physics_precision="highest",
+    batch: int = 256,
 ) -> Dict[str, str]:
     """Single-frame SRdataset: {LR, depth, HR, LR_degrade, alphaBeta} per split."""
-    model, params = _load_tpsf(tpsf_checkpoint, gama)
+    model, params = _load_tpsf(
+        tpsf_checkpoint, gama,
+        use_pallas=use_pallas, physics_precision=physics_precision,
+    )
     splits = splits or SINGLE_SPLITS
     paths = {}
     for split, idx in splits.items():
@@ -140,7 +163,7 @@ def generate_single_srdataset(
             is_aug_data=False,
         )
         lr, depth = ds.stacked()
-        arrays = tpsf_apply_batched(model, params, lr, depth, scale_num)
+        arrays = tpsf_apply_batched(model, params, lr, depth, scale_num, batch)
         name = f"SRdataset_{split}"
         _save_split(out_dir, name, arrays, legacy_npy)
         paths[split] = os.path.join(out_dir, name + ".npz")
@@ -158,9 +181,15 @@ def generate_seqs_srdataset(
     n_translations: int = 9,
     legacy_npy: bool = False,
     suffix: str = "_32",
+    use_pallas="auto",
+    physics_precision="highest",
+    batch: int = 256,
 ) -> Dict[str, str]:
     """Multi-frame SeqsDataset: 7 rotation frames deepest-first -> (21,4,4) LR."""
-    model, params = _load_tpsf(tpsf_checkpoint, gama)
+    model, params = _load_tpsf(
+        tpsf_checkpoint, gama,
+        use_pallas=use_pallas, physics_precision=physics_precision,
+    )
     ds = TPSFNetDataset(
         raw_dataset_dir,
         sample_cnt=sample_cnt,
@@ -200,7 +229,7 @@ def generate_seqs_srdataset(
         depth = np.stack([r[1] for r in rows])
         idx30 = np.asarray([r[2] for r in rows])
         phys = tpsf_apply_batched(
-            model, params, lr_all[idx30], depth_all[idx30], scale_num
+            model, params, lr_all[idx30], depth_all[idx30], scale_num, batch
         )
         arrays = {
             "LR": lr_cat,  # (N, 21, 4, 4), already scaled
@@ -246,6 +275,20 @@ def _cli():
         pg.add_argument("--scale-num", type=float, default=100.0)
         pg.add_argument("--gama", type=float, default=1.4)
         pg.add_argument("--legacy-npy", action="store_true")
+        pg.add_argument(
+            "--use-pallas", default="auto",
+            help="fused physics kernel: auto (TPU-only, the default)|true|false",
+        )
+        pg.add_argument(
+            "--physics-precision", default="highest",
+            choices=["highest", "high", "default"],
+            help="Pallas in-kernel matmul precision; 'default' (bf16 one-pass)"
+            " is ~1.3x faster physics at 2e-3 rel LR deviation",
+        )
+        pg.add_argument(
+            "--batch", type=int, default=256,
+            help="physics device batch; raise (e.g. 8192) to saturate a TPU",
+        )
         if name == "seqs":
             pg.add_argument("--n-contacts", type=int, default=18)
             pg.add_argument("--n-translations", type=int, default=9)
@@ -265,6 +308,8 @@ def _cli():
             args.tpsf_checkpoint, args.raw_dir, args.out_dir,
             sample_cnt=args.sample_cnt, scale_num=args.scale_num,
             gama=args.gama, legacy_npy=args.legacy_npy,
+            use_pallas=args.use_pallas,
+            physics_precision=args.physics_precision, batch=args.batch,
         )
         print("\n".join(f"{k}: {v}" for k, v in paths.items()))
     else:
@@ -273,6 +318,8 @@ def _cli():
             sample_cnt=args.sample_cnt, scale_num=args.scale_num,
             gama=args.gama, legacy_npy=args.legacy_npy,
             n_contacts=args.n_contacts, n_translations=args.n_translations,
+            use_pallas=args.use_pallas,
+            physics_precision=args.physics_precision, batch=args.batch,
         )
         print("\n".join(f"{k}: {v}" for k, v in paths.items()))
 

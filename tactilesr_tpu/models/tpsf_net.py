@@ -37,6 +37,10 @@ class TPSFNet(nn.Module):
     perception_scale: Optional[float] = None
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused batch-tiled physics kernel
+    # in-kernel matmul precision for the Pallas path: "highest" (f32 parity
+    # default) or "default" (one-pass bf16, ~1.3x physics throughput at
+    # generation-scale batches, 2e-3 rel LR deviation -- see docs/PERF.md)
+    physics_precision: Optional[Any] = None
     # device mesh for data-parallel training: the pallas path shard_maps
     # over the data axis so each device runs the kernel on its local shard
     mesh: Optional[Any] = None
@@ -63,6 +67,7 @@ class TPSFNet(nn.Module):
             return_psf=return_psf,
             use_pallas=self.use_pallas,
             mesh=self.mesh,
+            precision=self.physics_precision,
         )
 
         hr = hr[:, None]  # (B, 1, 100, 100)

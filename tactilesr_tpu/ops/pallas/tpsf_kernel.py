@@ -28,12 +28,24 @@ HR, 1.2e-4 on LR (reassociated f32 accumulation).  The kernel is therefore
 the default physics path on TPU (``use_pallas_physics`` in
 config/default.py; forced off on CPU where interpret mode is test-only).
 
+The in-kernel matmuls take a ``precision`` argument.  HIGHEST (true-f32,
+6 MXU passes) is the parity default; DEFAULT (one bf16 pass) measured +33%
+at generation-scale batches (B=8192 on the v5e: 1.14M samples/s at tile
+16/32 vs 855k for both XLA and the HIGHEST kernel; tile x precision sweep
+in scripts/probe_tpsf_kernel.py) at 2.1e-3 relative deviation on LR — opt
+in via ``physics_precision: default`` where bf16 physics labels are
+acceptable, e.g. dataset generation (`--physics-precision default`).  At
+the training batch (B=256) dispatch overhead dominates and the knob is
+neutral.  See docs/PERF.md for the full sweep.
+
 The backward pass falls back to the XLA formulation via custom_vjp
 (recompute); training uses whichever path the config selects, and both are
 cross-checked in tests (interpret mode on CPU, compiled on TPU).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -53,12 +65,12 @@ from ..psf import (
     _physics_single,
 )
 
-__all__ = ["tpsf_physics_fused", "tpsf_physics_pallas_raw", "TILE"]
+__all__ = ["tpsf_physics_fused", "tpsf_physics_pallas_raw", "get_fused", "TILE"]
 
 TILE = 8  # samples per grid step; amortizes launch/DMA, overlaps 16 matmuls
 
 
-def _sample_body(alpha, beta, m, d):
+def _sample_body(alpha, beta, m, d, precision):
     """Physics for ONE sample: alpha/beta/m scalars, d (100,100) f32 -> (hr, lr)."""
 
     # banded PSF operator from iotas (no HBM traffic); Mosaic iota is
@@ -71,7 +83,7 @@ def _sample_body(alpha, beta, m, d):
     a = jnp.where(valid, band, 0.0)
 
     # HR0 = alpha * A @ D @ A^T  -- MXU
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     t1 = jnp.dot(a, d, preferred_element_type=jnp.float32, precision=hi)
     hr0 = alpha * jnp.dot(t1, a.T, preferred_element_type=jnp.float32, precision=hi)
 
@@ -99,28 +111,37 @@ def _sample_body(alpha, beta, m, d):
     return hr, lr
 
 
-def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
-    # unrolled over the tile: 2*TILE independent MXU contractions for the
-    # scheduler to overlap with the VPU band/mask work of other samples
-    for t in range(abm_ref.shape[0]):
-        alpha = abm_ref[t, 0, 0]  # SMEM: scalar loads only
-        beta = abm_ref[t, 0, 1]
-        m = abm_ref[t, 0, 2]
-        d = depth_ref[t, :, :].astype(jnp.float32)
-        hr, lr = _sample_body(alpha, beta, m, d)
-        hr_ref[t, :, :] = hr
-        lr_ref[t, :, :] = lr
+def _make_kernel(precision):
+    def _kernel(abm_ref, depth_ref, hr_ref, lr_ref):
+        # unrolled over the tile: 2*TILE independent MXU contractions for
+        # the scheduler to overlap with the VPU band/mask work of other
+        # samples
+        for t in range(abm_ref.shape[0]):
+            alpha = abm_ref[t, 0, 0]  # SMEM: scalar loads only
+            beta = abm_ref[t, 0, 1]
+            m = abm_ref[t, 0, 2]
+            d = depth_ref[t, :, :].astype(jnp.float32)
+            hr, lr = _sample_body(alpha, beta, m, d, precision)
+            hr_ref[t, :, :] = hr
+            lr_ref[t, :, :] = lr
+
+    return _kernel
 
 
 def tpsf_physics_pallas_raw(
-    depth, abm, interpret: bool | None = None, tile: int = TILE
+    depth,
+    abm,
+    interpret: bool | None = None,
+    tile: int = TILE,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Batch-tiled fused kernel: depth (B,100,100), abm (B,3) -> (HR, LR).
 
     ``interpret`` defaults to True off-TPU so tests exercise the same kernel
     body on the CPU mesh.  ``tile`` samples run per grid step; the batch is
     zero-padded up to a tile multiple (a zero depth map is harmless: its
-    outputs are sliced away).
+    outputs are sliced away).  ``precision`` feeds the in-kernel matmuls
+    (HIGHEST = true-f32 6-pass MXU, the parity default).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -139,7 +160,7 @@ def tpsf_physics_pallas_raw(
     # equal to the full array dims)
     abm3 = abm.astype(jnp.float32)[:, None, :]
     hr, lr = pl.pallas_call(
-        _kernel,
+        _make_kernel(precision),
         grid=(bp // tile,),
         in_specs=[
             pl.BlockSpec((tile, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -165,22 +186,33 @@ def _xla_reference(depth, abm):
     return hr, lr
 
 
-@jax.custom_vjp
-def tpsf_physics_fused(depth, abm):
+@functools.lru_cache(maxsize=None)
+def get_fused(precision=jax.lax.Precision.HIGHEST, tile=TILE):
     """Fused forward (Pallas) with an XLA-recompute backward; drop-in for
-    ``tpsf_forward_physics(..., return_psf=False)`` minus the psf output."""
-    hr, lr = tpsf_physics_pallas_raw(depth, abm)
-    return hr, lr
+    ``tpsf_forward_physics(..., return_psf=False)`` minus the psf output.
+
+    One cached custom_vjp function per (matmul ``precision``, ``tile``) so
+    jit caches stay warm across calls.  The backward recomputes through the
+    XLA formulation at HIGHEST regardless of the forward precision
+    (gradients are MSE-against-labels; a bf16 forward with an f32-exact
+    backward keeps optimizer trajectories well-conditioned)."""
+
+    @jax.custom_vjp
+    def fused(depth, abm):
+        return tpsf_physics_pallas_raw(depth, abm, tile=tile, precision=precision)
+
+    def _fwd(depth, abm):
+        return fused(depth, abm), (depth, abm)
+
+    def _bwd(residuals, cotangents):
+        depth, abm = residuals
+        _out, vjp = jax.vjp(_xla_reference, depth, abm)
+        return vjp(cotangents)
+
+    fused.defvjp(_fwd, _bwd)
+    return fused
 
 
-def _fwd(depth, abm):
-    return tpsf_physics_fused(depth, abm), (depth, abm)
-
-
-def _bwd(residuals, cotangents):
-    depth, abm = residuals
-    _out, vjp = jax.vjp(_xla_reference, depth, abm)
-    return vjp(cotangents)
-
-
-tpsf_physics_fused.defvjp(_fwd, _bwd)
+def tpsf_physics_fused(depth, abm, precision=jax.lax.Precision.HIGHEST):
+    """Back-compat wrapper around :func:`get_fused`."""
+    return get_fused(precision)(depth, abm)

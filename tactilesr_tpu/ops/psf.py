@@ -46,6 +46,8 @@ __all__ = [
     "degradation",
     "degradation_direct",
     "tpsf_forward_physics",
+    "resolve_pallas_physics",
+    "resolve_physics_precision",
 ]
 
 PSF_SIZE = 99
@@ -180,9 +182,60 @@ def _physics_single(depth, alpha_beta_m):
     return hr, lr_degrade
 
 
+def resolve_pallas_physics(config) -> bool:
+    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only (the
+    tiled kernel wins ~1.2x there; interpret mode elsewhere is test-only).
+    Mesh-safe either way: under a device mesh the model shard_maps the
+    kernel over the data axis (models/tpsf_net.py, tpsf_forward_physics)."""
+    val = config.get("use_pallas_physics", "auto")
+    if isinstance(val, str):
+        low = val.lower()
+        if low == "auto":
+            return jax.default_backend() == "tpu"
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        # fail loud on typos ('ture', 'enable', ...) instead of silently
+        # dropping to the slower non-Pallas path -- matches resolve_mesh
+        raise ValueError(
+            f"use_pallas_physics={val!r}: expected auto|true|false "
+            "(or on/off/yes/no/1/0)"
+        )
+    return bool(val)
+
+
+def resolve_physics_precision(val):
+    """Map a config string to the Pallas kernel's in-kernel matmul precision.
+
+    ``highest`` (true-f32, 6 MXU passes) is the parity default; ``default``
+    (one bf16 pass) trades 2e-3 relative LR deviation for ~1.3x physics
+    throughput at generation-scale batches (see docs/PERF.md).  ``high``
+    (3-pass f32) is accepted for completeness.  Accepts a
+    ``jax.lax.Precision`` or None (-> HIGHEST) passthrough; fails loud on
+    typos like the other config resolvers."""
+    if val is None:
+        return jax.lax.Precision.HIGHEST
+    if isinstance(val, jax.lax.Precision):
+        return val
+    if isinstance(val, str):
+        try:
+            return {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT,
+            }[val.lower()]
+        except KeyError:
+            pass
+    raise ValueError(
+        f"physics_precision={val!r}: expected highest|high|default "
+        "(or a jax.lax.Precision)"
+    )
+
+
 def tpsf_forward_physics(
     depth, alpha_beta_m, return_psf: bool = True, use_pallas: bool = False,
-    mesh=None,
+    mesh=None, precision=None,
 ):
     """Batched physics: depth (B,100,100), alpha_beta_m (B,3) ->
     (HR (B,100,100), LR_degrade (B,4,4), psf (B,99,99) or None).
@@ -195,9 +248,18 @@ def tpsf_forward_physics(
     all-gather the sharded batch and run the physics replicated on every
     device; with it, each device runs the kernel on its local batch shard
     (the physics is per-sample, so no cross-shard communication exists).
-    The custom_vjp backward (XLA recompute) shards the same way."""
+    The custom_vjp backward (XLA recompute) shards the same way.
+
+    ``precision`` feeds the Pallas kernel's in-kernel matmuls only
+    (string or ``jax.lax.Precision``; None -> HIGHEST, the parity default).
+    The XLA path is pinned to explicit f32-HIGHEST matmuls -- it is the
+    golden-tested reference formulation (and the custom_vjp backward), so it
+    stays bit-stable regardless of this knob or the global
+    ``matmul_precision`` flag."""
     if use_pallas:
-        from .pallas.tpsf_kernel import tpsf_physics_fused
+        from .pallas.tpsf_kernel import get_fused
+
+        tpsf_physics_fused = get_fused(resolve_physics_precision(precision))
 
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS as _DA

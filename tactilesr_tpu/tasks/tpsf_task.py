@@ -26,6 +26,7 @@ from ..config.default import tPSFNet_config
 from ..data.datasets import SingleTapSeqsDataset, TPSFNetDataset
 from ..metrics import ssim as ssim_fn
 from ..models.tpsf_net import TPSFNet
+from ..ops.psf import resolve_pallas_physics, resolve_physics_precision
 from ..runtime.hooks import EvalHook, HookBase
 from ..runtime.misc import set_random_seed
 from ..runtime.optim import adam_l2
@@ -37,37 +38,15 @@ __all__ = ["TPSFTrainer", "build_model", "build_eval_fn", "InferenceHookTPSF", "
 logger = logging.getLogger("tactilesr_tpu")
 
 
-def resolve_pallas_physics(config) -> bool:
-    """``use_pallas_physics: auto|true|false`` -- auto means TPU-only (the
-    tiled kernel wins ~1.2x there; interpret mode elsewhere is test-only).
-    Mesh-safe either way: under a device mesh the model shard_maps the
-    kernel over the data axis (models/tpsf_net.py, ops/psf.py)."""
-    val = config.get("use_pallas_physics", "auto")
-    if isinstance(val, str):
-        low = val.lower()
-        if low == "auto":
-            import jax
-
-            return jax.default_backend() == "tpu"
-        if low in ("1", "true", "yes", "on"):
-            return True
-        if low in ("0", "false", "no", "off"):
-            return False
-        # fail loud on typos ('ture', 'enable', ...) instead of silently
-        # dropping to the slower non-Pallas path -- matches resolve_mesh
-        raise ValueError(
-            f"use_pallas_physics={val!r}: expected auto|true|false "
-            "(or on/off/yes/no/1/0)"
-        )
-    return bool(val)
-
-
 def build_model(config, mesh=None) -> TPSFNet:
     return TPSFNet(
         gama=config["gama"],
         perception_scale=config["perception_scale"],
         dtype=jnp.dtype(config.get("compute_dtype", "float32")),
         use_pallas=resolve_pallas_physics(config),
+        physics_precision=resolve_physics_precision(
+            config.get("physics_precision")
+        ),
         mesh=mesh,
     )
 

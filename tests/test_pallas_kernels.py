@@ -63,6 +63,92 @@ def test_tile_padding_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(lr_t), np.asarray(lr_1), rtol=1e-5, atol=1e-7)
 
 
+def test_precision_knob_matches_reference_numerics(rng):
+    """DEFAULT-precision in-kernel matmuls (one bf16 MXU pass on TPU; plain
+    f32 in interpret mode) must stay within the documented 1e-2 relative
+    envelope of the f32-HIGHEST reference formulation."""
+    depth, abm = _inputs(rng, b=4)
+    hr_x, lr_x, _ = tpsf_forward_physics(depth, abm, return_psf=False)
+    hr_d, lr_d = tpsf_physics_fused(depth, abm, precision=jax.lax.Precision.DEFAULT)
+    scale = float(jnp.abs(lr_x).max())
+    assert float(jnp.abs(lr_d - lr_x).max()) / scale < 1e-2
+    assert hr_d.shape == hr_x.shape
+
+
+def test_get_fused_caches_per_precision():
+    from tactilesr_tpu.ops.pallas.tpsf_kernel import get_fused
+
+    hi = jax.lax.Precision.HIGHEST
+    de = jax.lax.Precision.DEFAULT
+    assert get_fused(hi) is get_fused(hi)  # jit caches stay warm across calls
+    assert get_fused(de) is get_fused(de)
+    assert get_fused(hi) is not get_fused(de)
+
+
+def test_precision_knob_grad_path(rng):
+    """custom_vjp backward is the XLA recompute regardless of the forward
+    precision -- gradients must exist and track the XLA gradients closely."""
+    depth, abm = _inputs(rng, b=2)
+
+    def loss_fused(abm):
+        hr, lr = tpsf_physics_fused(depth, abm, precision=jax.lax.Precision.DEFAULT)
+        return jnp.sum(lr**2)
+
+    def loss_xla(abm):
+        _hr, lr, _ = tpsf_forward_physics(depth, abm, return_psf=False)
+        return jnp.sum(lr**2)
+
+    g_f = jax.grad(loss_fused)(abm)
+    g_x = jax.grad(loss_xla)(abm)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), rtol=1e-3, atol=1e-6)
+
+
+def test_forward_physics_precision_threading(rng):
+    """tpsf_forward_physics(use_pallas=True, precision=...) accepts strings
+    via resolve_physics_precision and matches the XLA path."""
+    depth, abm = _inputs(rng, b=3)
+    hr_x, lr_x, _ = tpsf_forward_physics(depth, abm, return_psf=False)
+    hr_p, lr_p, _ = tpsf_forward_physics(
+        depth, abm, return_psf=False, use_pallas=True, precision="highest"
+    )
+    np.testing.assert_allclose(np.asarray(hr_p), np.asarray(hr_x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lr_p), np.asarray(lr_x), rtol=1e-4, atol=1e-6)
+
+
+def test_resolve_physics_precision():
+    import pytest
+
+    from tactilesr_tpu.ops.psf import resolve_physics_precision
+
+    P = jax.lax.Precision
+    assert resolve_physics_precision(None) is P.HIGHEST
+    assert resolve_physics_precision("highest") is P.HIGHEST
+    assert resolve_physics_precision("HIGH") is P.HIGH
+    assert resolve_physics_precision("default") is P.DEFAULT
+    assert resolve_physics_precision(P.DEFAULT) is P.DEFAULT  # passthrough
+    with pytest.raises(ValueError, match="physics_precision"):
+        resolve_physics_precision("bf16")
+    with pytest.raises(ValueError, match="physics_precision"):
+        resolve_physics_precision(16)
+
+
+def test_tpsf_net_accepts_physics_precision(rng):
+    """The model field threads down to the kernel; outputs match the default
+    model bit-for-bit in interpret mode (same f32 math on CPU)."""
+    from tactilesr_tpu.models.tpsf_net import TPSFNet
+
+    lr_in = jnp.asarray(rng.random((2, 3, 4, 4)).astype(np.float32))
+    depth = jnp.asarray((rng.random((2, 1, 100, 100)) > 0.7).astype(np.float32))
+    base = TPSFNet(use_pallas=True)
+    fast = TPSFNet(use_pallas=True, physics_precision=jax.lax.Precision.DEFAULT)
+    params = base.init(jax.random.PRNGKey(0), lr_in, depth, return_psf=False)
+    out_b = base.apply(params, lr_in, depth, return_psf=False)
+    out_f = fast.apply(params, lr_in, depth, return_psf=False)
+    np.testing.assert_allclose(
+        np.asarray(out_f[1]), np.asarray(out_b[1]), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_use_pallas_physics_auto_resolution():
     from tactilesr_tpu.tasks.tpsf_task import resolve_pallas_physics
 

@@ -109,6 +109,29 @@ def _run_tpsf(cfg):
     return trainer
 
 
+def test_generate_with_pallas_and_precision_knobs(pipeline_dirs, tpsf_ckpt):
+    """The generation CLI's --use-pallas/--physics-precision knobs: the fused
+    kernel (interpret mode on CPU) must reproduce the XLA-generated dataset
+    within f32 reassociation noise."""
+    splits = {"test": [0, 1]}
+    base = generate_single_srdataset(
+        tpsf_ckpt, pipeline_dirs["raw"],
+        os.path.join(pipeline_dirs["root"], "SR_xla"),
+        sample_cnt=SAMPLE_CNT, splits=splits, use_pallas="false",
+    )
+    fused = generate_single_srdataset(
+        tpsf_ckpt, pipeline_dirs["raw"],
+        os.path.join(pipeline_dirs["root"], "SR_pallas"),
+        sample_cnt=SAMPLE_CNT, splits=splits, use_pallas="true",
+        physics_precision="default", batch=8,
+    )
+    with np.load(base["test"]) as zb, np.load(fused["test"]) as zf:
+        np.testing.assert_allclose(zf["HR"], zb["HR"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            zf["LR_degrade"], zb["LR_degrade"], rtol=1e-4, atol=1e-6
+        )
+
+
 def test_generate_and_train_sr(pipeline_dirs, tpsf_ckpt):
     out_dir = os.path.join(pipeline_dirs["root"], "SRdataset")
     paths = generate_single_srdataset(
