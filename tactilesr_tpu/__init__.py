@@ -12,10 +12,17 @@ import os as _os
 
 
 def maybe_force_platform() -> None:
-    """Honor ``$TACTILESR_PLATFORM`` (e.g. 'cpu', 'tpu') even when a site
-    plugin pinned another jax platform at interpreter start.  Must run
-    before any jax backend is initialized; entry scripts call this first."""
-    plat = _os.environ.get("TACTILESR_PLATFORM")
+    """Honor ``$TACTILESR_PLATFORM`` (e.g. 'cpu', 'tpu') -- or, failing
+    that, the standard ``$JAX_PLATFORMS`` -- even when a site plugin pinned
+    another jax platform at interpreter start via the config API (which
+    silently outranks the env var).  Must run before any jax backend is
+    initialized; entry scripts call this first.  This restores jax's
+    documented precedence (explicit env beats site defaults) for every
+    product CLI, so e.g. ``JAX_PLATFORMS=cpu python train/X_train.py``
+    stays a CPU run on a TPU-pinned host."""
+    plat = _os.environ.get("TACTILESR_PLATFORM") or _os.environ.get(
+        "JAX_PLATFORMS"
+    )
     if plat:
         import jax
 

@@ -145,3 +145,20 @@ def test_serving_cli_evaluate_and_output(tmp_path):
     assert np.isfinite(report["psnr_db"]) and np.isfinite(report["ssim"])
     with np.load(outp) as z:
         assert z["SR"].shape == (6, 1, 16, 16)
+
+
+def test_platform_env_var_beats_site_pin():
+    """`JAX_PLATFORMS=cpu python train/X_train.py` must be a CPU run even on
+    hosts whose sitecustomize pins another platform through the config API
+    (which silently outranks the raw env var).  maybe_force_platform --
+    called first by every product CLI -- restores the documented env
+    precedence; without it, subprocess 'CPU' runs land on the TPU tunnel."""
+    r = _run(
+        [
+            sys.executable, "-c",
+            "import tactilesr_tpu; tactilesr_tpu.maybe_force_platform(); "
+            "import jax; print('BACKEND=' + jax.default_backend())",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "BACKEND=cpu" in r.stdout
