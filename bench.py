@@ -150,19 +150,25 @@ def bench_train():
     )
 
 
-def bench_tpsf():
+def bench_tpsf(batch: int = 1024, precision: str = "highest", tile: int = 8):
     """Physics-path benchmark: fused batch-tiled Pallas kernel vs the XLA
     separable formulation at B=1024 (the tPSFNet hot op), interleaved A/B.
-    ``vs_baseline`` = pallas / xla (>1 means the kernel wins)."""
+    ``vs_baseline`` = pallas / xla (>1 means the kernel wins).
+
+    ``--batch N`` / ``--precision highest|high|default`` / ``--tile T``
+    reproduce the docs/PERF.md round-3 sweep points from the bench entry
+    (``default`` = one-pass bf16 in-kernel matmuls, +33% at B=8192; the
+    full sweep lives in scripts/probe_tpsf_kernel.py)."""
     require_device()
     import jax
     import jax.numpy as jnp
 
     from tactilesr_tpu.ops.pallas.tpsf_kernel import tpsf_physics_pallas_raw
-    from tactilesr_tpu.ops.psf import _physics_single
+    from tactilesr_tpu.ops.psf import _physics_single, resolve_physics_precision
 
+    prec = resolve_physics_precision(precision)
     wait_for_quiet(jnp, jax)
-    B = 1024
+    B = batch
     rng = np.random.default_rng(0)
     depth = jax.device_put((rng.random((B, 100, 100)) * 3).astype(np.float32))
     abm = jax.device_put(
@@ -176,7 +182,9 @@ def bench_tpsf():
         )
     )
     xla = jax.jit(lambda d, a: _physics_single(d, a))
-    pal = jax.jit(lambda d, a: tpsf_physics_pallas_raw(d, a))
+    pal = jax.jit(
+        lambda d, a: tpsf_physics_pallas_raw(d, a, tile=tile, precision=prec)
+    )
 
     def sync(o):
         float(jnp.asarray(o[0].reshape(-1)[0]))
@@ -203,6 +211,9 @@ def bench_tpsf():
                 "vs_baseline": round(p_med / x_med, 3),
                 "extras": {
                     "xla_separable": round(x_med, 1),
+                    "batch": B,
+                    "precision": precision,
+                    "tile": tile,
                     "note": "vs_baseline is pallas/xla on the same chip",
                 },
             }
@@ -309,10 +320,18 @@ def main():
     )
 
 
+def _argval(flag, default, cast=str):
+    return cast(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
 if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
     elif "--tpsf" in sys.argv:
-        bench_tpsf()
+        bench_tpsf(
+            batch=_argval("--batch", 1024, int),
+            precision=_argval("--precision", "highest"),
+            tile=_argval("--tile", 8, int),
+        )
     else:
         main()
