@@ -1,0 +1,377 @@
+"""HTTP serving front-end: micro-batched SR inference over the network.
+
+TPU serving wants ONE dispatch thread feeding large fixed-shape batches
+(the MXU is utilized by batch, and XLA executables are keyed on shape);
+HTTP concurrency is the opposite — many small simultaneous requests.  The
+``MicroBatcher`` bridges the two: handler threads enqueue their readings,
+a single device thread coalesces everything queued (up to the predictor's
+largest bucket, with a short linger window to let concurrent callers pile
+in) into one ``SRPredictor.predict`` call, and each caller gets back its
+own rows.  Weight hot-swap (``POST /reload``) rides the predictor's
+tested atomicity contract: a mismatched checkpoint is refused with the
+previous weights still serving, and every in-flight batch completes on
+the weights it started with.
+
+The reference has no serving tier at all (its closest analogue is the
+offline dataset-generation inference, /root/reference/data/SRdataset/
+depth2tactile.py:62-160); this module extends the capability set on top
+of ``serving.SRPredictor``.  Stdlib-only: ``http.server`` threads for IO,
+the device never sees more than one dispatcher.
+
+Endpoints
+---------
+- ``GET /healthz``   — model/bucket/checkpoint info, 200 when serving.
+- ``GET /stats``     — request/frame/batch counters and coalescing stats.
+- ``POST /predict``  — body is an ``.npz`` with an ``LR`` array of shape
+  (N, C, 4, 4) (``Content-Type: application/x-npz``, the default) or JSON
+  ``{"lr": [...]}``;  response mirrors the request format with ``SR``.
+- ``POST /reload``   — JSON ``{"checkpoint": path}``; hot-swaps weights
+  without recompiling.  409 + old weights keep serving on a mismatch.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .serving import SRPredictor
+
+__all__ = ["MicroBatcher", "SRServer", "create_server"]
+
+logger = logging.getLogger("tactilesr_tpu")
+
+_SHUTDOWN = object()
+
+
+class _Pending:
+    __slots__ = ("arr", "event", "result", "error")
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent predict() calls into single device dispatches.
+
+    ``submit`` blocks the calling thread until its rows come back.  One
+    worker thread owns the device: it takes the oldest queued request,
+    lingers up to ``linger_ms`` for more to arrive (bounded by
+    ``max_batch``, default the predictor's largest bucket), concatenates,
+    runs ONE ``predict``, and slices the output back per caller.  A
+    request larger than ``max_batch`` is still served in one submit (the
+    predictor chunks internally over its buckets)."""
+
+    def __init__(
+        self,
+        predictor: SRPredictor,
+        max_batch: Optional[int] = None,
+        linger_ms: float = 2.0,
+    ):
+        self.predictor = predictor
+        self.max_batch = int(max_batch or predictor.buckets[-1])
+        self.linger_s = float(linger_ms) / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "frames": 0,
+            "batches": 0,
+            "max_coalesced_requests": 0,
+        }
+        self._worker = threading.Thread(
+            target=self._run, name="microbatcher", daemon=True
+        )
+        self._worker.start()
+
+    def submit(self, lr: np.ndarray) -> np.ndarray:
+        """(N, C, 4, 4) readings -> (N, 1, 4s, 4s) maps; thread-safe."""
+        lr = np.asarray(lr, np.float32)
+        c = self.predictor.in_channels
+        if lr.ndim != 4 or lr.shape[1:] != (c, 4, 4) or lr.shape[0] == 0:
+            raise ValueError(
+                f"expected (N>=1, {c}, 4, 4) readings, got {lr.shape}"
+            )
+        item = _Pending(lr)
+        self._q.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def shutdown(self, timeout_s: float = 10.0) -> None:
+        self._q.put(_SHUTDOWN)
+        self._worker.join(timeout_s)
+
+    def _collect(self, first: _Pending):
+        """The batching policy: linger briefly, stop at max_batch."""
+        batch = [first]
+        total = first.arr.shape[0]
+        deadline = time.monotonic() + self.linger_s
+        while total < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = (
+                    self._q.get(timeout=remaining)
+                    if remaining > 0
+                    else self._q.get_nowait()
+                )
+            except queue.Empty:
+                break
+            if nxt is _SHUTDOWN:  # keep the sentinel for the outer loop
+                self._q.put(nxt)
+                break
+            batch.append(nxt)
+            total += nxt.arr.shape[0]
+        return batch, total
+
+    def _run(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is _SHUTDOWN:
+                return
+            batch, total = self._collect(first)
+            try:
+                out = self.predictor.predict(
+                    np.concatenate([p.arr for p in batch])
+                    if len(batch) > 1
+                    else batch[0].arr
+                )
+                i = 0
+                for p in batch:
+                    n = p.arr.shape[0]
+                    p.result = out[i : i + n]
+                    i += n
+            except BaseException as e:  # deliver, don't kill the worker
+                for p in batch:
+                    p.error = e
+            finally:
+                # stats first, wake-ups last: a caller that has its response
+                # always sees its own dispatch reflected in /stats
+                with self._lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["frames"] += total
+                    self.stats["batches"] += 1
+                    self.stats["max_coalesced_requests"] = max(
+                        self.stats["max_coalesced_requests"], len(batch)
+                    )
+                for p in batch:
+                    p.event.set()
+
+    def snapshot_stats(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+        s["avg_frames_per_dispatch"] = (
+            round(s["frames"] / s["batches"], 2) if s["batches"] else 0.0
+        )
+        return s
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: "SRServer"
+
+    # -- plumbing ---------------------------------------------------------
+    def log_message(self, fmt, *args):  # route http.server chatter to DEBUG
+        logger.debug("http: " + fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n)
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send_json(200, self.server.health())
+        elif self.path == "/stats":
+            self._send_json(200, self.server.batcher.snapshot_stats())
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path == "/predict":
+            self._predict()
+        elif self.path == "/reload":
+            self._reload()
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def _predict(self):
+        body = self._body()
+        as_json = (self.headers.get("Content-Type") or "").startswith(
+            "application/json"
+        )
+        try:
+            if as_json:
+                lr = np.asarray(json.loads(body)["lr"], np.float32)
+            else:
+                with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                    lr = z["LR"]
+        except Exception as e:
+            self._send_json(400, {"error": f"unparseable request body: {e}"})
+            return
+        try:
+            sr = self.server.batcher.submit(lr)
+        except ValueError as e:  # shape validation
+            self._send_json(400, {"error": str(e)})
+            return
+        except Exception as e:  # device-side failure
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if as_json:
+            self._send_json(200, {"sr": sr.tolist()})
+        else:
+            self._send(200, _npz_bytes(SR=sr), "application/x-npz")
+
+    def _reload(self):
+        try:
+            path = json.loads(self._body())["checkpoint"]
+        except Exception as e:
+            self._send_json(400, {"error": f"bad reload request: {e}"})
+            return
+        try:
+            self.server.predictor.reload_checkpoint(path)
+        except FileNotFoundError as e:
+            self._send_json(404, {"error": str(e), "serving": "previous weights"})
+        except (ValueError, KeyError) as e:
+            # architecture mismatch: refused, previous weights keep serving
+            self._send_json(409, {"error": str(e), "serving": "previous weights"})
+        else:
+            self.server.checkpoint_path = path
+            self._send_json(200, {"reloaded": path})
+
+
+class SRServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer wired to one predictor + one MicroBatcher."""
+
+    daemon_threads = True
+
+    def __init__(self, addr, predictor: SRPredictor, batcher: MicroBatcher,
+                 checkpoint_path: str):
+        super().__init__(addr, _Handler)
+        self.predictor = predictor
+        self.batcher = batcher
+        self.checkpoint_path = checkpoint_path
+
+    def health(self) -> dict:
+        p = self.predictor
+        return {
+            "status": "ok",
+            "model_arch": p.model_arch,
+            "in_channels": p.in_channels,
+            "buckets": list(p.buckets),
+            "fused": p.fused,
+            "checkpoint": self.checkpoint_path,
+        }
+
+
+def create_server(
+    checkpoint_path: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    linger_ms: float = 2.0,
+    max_batch: Optional[int] = None,
+    warmup: bool = True,
+    **predictor_kw,
+) -> SRServer:
+    """Build (but don't start) a serving endpoint.  ``port=0`` binds an
+    ephemeral port — read it back from ``server.server_address``.  Call
+    ``serve_forever()`` (or run it in a thread) to accept requests;
+    ``shutdown()`` + ``batcher.shutdown()`` to stop."""
+    pred = SRPredictor(checkpoint_path, **predictor_kw)
+    if warmup:
+        pred.warmup()
+    batcher = MicroBatcher(pred, max_batch=max_batch, linger_ms=linger_ms)
+    srv = SRServer((host, port), pred, batcher, checkpoint_path)
+    logger.info(
+        "SRServer ready on http://%s:%d (buckets %s, linger %.1f ms)",
+        *srv.server_address, pred.buckets, linger_ms,
+    )
+    return srv
+
+
+def _cli():
+    import argparse
+    import sys
+
+    from . import maybe_force_platform
+    from .parallel.mesh import resolve_mesh
+    from .runtime.logger import setup_logger
+
+    maybe_force_platform()
+    # stdout carries exactly one JSON line (the bound address); logs -> stderr
+    setup_logger("tactilesr_tpu", stream=sys.stderr)
+    p = argparse.ArgumentParser(
+        prog="python -m tactilesr_tpu.server",
+        description="Micro-batched HTTP SR serving from a checkpoint",
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8912)
+    p.add_argument("--linger-ms", type=float, default=2.0)
+    p.add_argument("--seqs-cnt", type=int, default=1)
+    p.add_argument("--scale-factor", type=int, default=10)
+    p.add_argument("--pattern-layers", type=int, default=6)
+    p.add_argument("--force-layers", type=int, default=1)
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument(
+        "--model-arch", default="TactileSR",
+        choices=("TactileSR", "TactileSRCNN"),
+    )
+    p.add_argument("--no-fused", action="store_true")
+    p.add_argument(
+        "--data-parallel", default="off",
+        help="shard serving batches over local devices: off|auto|N",
+    )
+    args = p.parse_args()
+    srv = create_server(
+        args.checkpoint,
+        host=args.host,
+        port=args.port,
+        linger_ms=args.linger_ms,
+        scale_factor=args.scale_factor,
+        seqs_cnt=args.seqs_cnt,
+        pattern_layers=args.pattern_layers,
+        force_layers=args.force_layers,
+        compute_dtype=args.compute_dtype,
+        fused=not args.no_fused,
+        model_arch=args.model_arch,
+        mesh=resolve_mesh(args.data_parallel),
+    )
+    print(json.dumps({"serving": f"http://{srv.server_address[0]}:{srv.server_address[1]}"}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        srv.batcher.shutdown()
+
+
+if __name__ == "__main__":
+    _cli()

@@ -1,0 +1,230 @@
+"""HTTP serving endpoint: micro-batching, routes, hot-reload semantics.
+
+The server runs in-process (ThreadingHTTPServer on an ephemeral port);
+requests go through real HTTP via urllib, so the full handler/batcher/
+predictor stack is exercised.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tactilesr_tpu.models.tactile_sr import TactileSR
+from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+from tactilesr_tpu.server import MicroBatcher, create_server
+from tactilesr_tpu.serving import SRPredictor
+
+PRED_KW = dict(
+    scale_factor=4, pattern_layers=1, force_layers=1,
+    compute_dtype="float32", buckets=(4, 16),
+)
+
+
+def _make_ckpt(tmp_path, name="model.ckpt", seed=0, pattern_layers=1):
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=1,
+    )
+    v = jax.device_get(
+        model.init(jax.random.key(seed), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    path = str(tmp_path / name)
+    save_checkpoint_file(
+        path,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": 0,
+        },
+    )
+    return path
+
+
+def _post(url, body, ctype="application/x-npz"):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), r.headers.get("Content-Type")
+
+
+def _npz(**arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server")
+    ckpt = _make_ckpt(tmp)
+    srv = create_server(ckpt, linger_ms=2.0, **PRED_KW)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    yield srv, f"http://{host}:{port}", ckpt, tmp
+    srv.shutdown()
+    srv.batcher.shutdown()
+
+
+def test_healthz_and_routes(server):
+    _, base, ckpt, _ = server
+    with urllib.request.urlopen(base + "/healthz") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["in_channels"] == 3
+    assert health["buckets"] == [4, 16]
+    assert health["checkpoint"] == ckpt
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/nope")
+    assert ei.value.code == 404
+
+
+def test_predict_npz_matches_direct(server, rng):
+    srv, base, ckpt, _ = server
+    lr = (rng.random((5, 3, 4, 4)) * 4).astype(np.float32)
+    status, body, ctype = _post(base + "/predict", _npz(LR=lr))
+    assert status == 200 and ctype == "application/x-npz"
+    with np.load(io.BytesIO(body)) as z:
+        sr = z["SR"]
+    assert sr.shape == (5, 1, 16, 16)
+    direct = SRPredictor(ckpt, **PRED_KW).predict(lr)
+    np.testing.assert_allclose(sr, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_json(server, rng):
+    _, base, ckpt, _ = server
+    lr = (rng.random((2, 3, 4, 4)) * 4).astype(np.float32)
+    status, body, ctype = _post(
+        base + "/predict",
+        json.dumps({"lr": lr.tolist()}).encode(),
+        ctype="application/json",
+    )
+    assert status == 200 and ctype == "application/json"
+    sr = np.asarray(json.loads(body)["sr"], np.float32)
+    assert sr.shape == (2, 1, 16, 16)
+    direct = SRPredictor(ckpt, **PRED_KW).predict(lr)
+    np.testing.assert_allclose(sr, direct, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_errors(server):
+    _, base, _, _ = server
+    # wrong channel count -> 400 with the expected-shape message
+    bad = np.zeros((2, 5, 4, 4), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/predict", _npz(LR=bad))
+    assert ei.value.code == 400
+    assert "expected (N>=1, 3, 4, 4)" in json.loads(ei.value.read())["error"]
+    # garbage body -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/predict", b"not an npz")
+    assert ei.value.code == 400
+
+
+def test_concurrent_requests_coalesce(server, rng):
+    """8 threads fire single-frame requests into a linger window; the
+    batcher must coalesce at least some of them into one dispatch and
+    every caller must get exactly its own row back."""
+    srv, base, ckpt, _ = server
+    srv.batcher.linger_s = 0.2  # widen the window for determinism
+    try:
+        lrs = [(rng.random((1, 3, 4, 4)) * 4).astype(np.float32) for _ in range(8)]
+        results = [None] * 8
+        errors = []
+
+        def call(i):
+            try:
+                _, body, _ = _post(base + "/predict", _npz(LR=lrs[i]))
+                with np.load(io.BytesIO(body)) as z:
+                    results[i] = z["SR"].copy()
+            except Exception as e:  # pragma: no cover - surfaced by assert
+                errors.append(e)
+
+        before = srv.batcher.snapshot_stats()
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert not errors
+        after = srv.batcher.snapshot_stats()
+        assert after["requests"] - before["requests"] == 8
+        assert after["frames"] - before["frames"] == 8
+        # coalescing happened: fewer dispatches than requests
+        assert after["batches"] - before["batches"] < 8
+        assert after["max_coalesced_requests"] >= 2
+        direct = SRPredictor(ckpt, **PRED_KW)
+        expected = direct.predict(np.concatenate(lrs))
+        for i in range(8):
+            np.testing.assert_allclose(
+                results[i][0], expected[i], rtol=1e-5, atol=1e-6
+            )
+    finally:
+        srv.batcher.linger_s = 0.002
+
+
+def test_reload_endpoint(server, rng, tmp_path):
+    srv, base, ckpt, tmp = server
+    lr = (rng.random((3, 3, 4, 4)) * 4).astype(np.float32)
+    _, body0, _ = _post(base + "/predict", _npz(LR=lr))
+    # same-architecture reload: outputs change, health reports the new path
+    ckpt_b = _make_ckpt(tmp_path, "b.ckpt", seed=7)
+    status, body, _ = _post(
+        base + "/reload", json.dumps({"checkpoint": ckpt_b}).encode(),
+        ctype="application/json",
+    )
+    assert status == 200
+    _, body1, _ = _post(base + "/predict", _npz(LR=lr))
+    with np.load(io.BytesIO(body0)) as z0, np.load(io.BytesIO(body1)) as z1:
+        assert not np.allclose(z0["SR"], z1["SR"])
+    with urllib.request.urlopen(base + "/healthz") as r:
+        assert json.loads(r.read())["checkpoint"] == ckpt_b
+    # mismatched architecture -> 409, previous weights keep serving
+    ckpt_bad = _make_ckpt(tmp_path, "bad.ckpt", seed=1, pattern_layers=2)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/reload", json.dumps({"checkpoint": ckpt_bad}).encode(),
+              ctype="application/json")
+    assert ei.value.code == 409
+    _, body2, _ = _post(base + "/predict", _npz(LR=lr))
+    with np.load(io.BytesIO(body1)) as z1, np.load(io.BytesIO(body2)) as z2:
+        np.testing.assert_array_equal(z1["SR"], z2["SR"])
+    # missing file -> 404, still serving
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/reload",
+              json.dumps({"checkpoint": str(tmp_path / "nope.ckpt")}).encode(),
+              ctype="application/json")
+    assert ei.value.code == 404
+
+
+def test_microbatcher_shape_validation(server):
+    srv, _, _, _ = server
+    with pytest.raises(ValueError, match="expected"):
+        srv.batcher.submit(np.zeros((0, 3, 4, 4), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        srv.batcher.submit(np.zeros((2, 3, 4), np.float32))
+
+
+def test_microbatcher_oversized_request(tmp_path, rng):
+    """A single request larger than max_batch is served in one submit
+    (the predictor chunks internally)."""
+    ckpt = _make_ckpt(tmp_path)
+    pred = SRPredictor(ckpt, **PRED_KW)
+    mb = MicroBatcher(pred, max_batch=4, linger_ms=0.5)
+    try:
+        lr = (rng.random((19, 3, 4, 4)) * 4).astype(np.float32)
+        out = mb.submit(lr)
+        assert out.shape == (19, 1, 16, 16)
+        np.testing.assert_allclose(
+            out, pred.predict(lr), rtol=1e-5, atol=1e-6
+        )
+    finally:
+        mb.shutdown()
