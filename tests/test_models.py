@@ -204,3 +204,21 @@ def test_head_init_cnn(rng):
         jax.random.key(1), x
     )
     assert np.all(np.asarray(v["params"]["output_conv"]["conv"]["kernel"]) >= 0)
+
+
+def test_leaky_res_block(rng):
+    """LeakyResBlock (reference tactileSR_model.py:227-241, defined-unused
+    there but part of the public surface): shape-preserving, and the inner
+    LeakyReLU(1) quirk means the final slope is the only nonlinearity on
+    the residual sum — slope=1 yields the raw sum, slope=0 its ReLU."""
+    from tactilesr_tpu.models.blocks import LeakyResBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    _, out = _init_and_apply(LeakyResBlock(), x, train=True)
+    assert out.shape == x.shape
+    _, out1 = _init_and_apply(LeakyResBlock(negative_slope=1.0), x)
+    _, out0 = _init_and_apply(LeakyResBlock(negative_slope=0.0), x)
+    np.testing.assert_allclose(
+        np.asarray(out0), np.maximum(np.asarray(out1), 0.0),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -205,3 +205,124 @@ def test_profiler_hook(tmp_path, rng):
         with gzip.open(chrome[0], "rt") as f:
             trace = json.load(f)
         assert trace.get("traceEvents"), "chrome trace has no events"
+
+
+def test_trainer_ctor_guards(tmp_path):
+    """The documented misconfiguration guards (trainer.py:108-113) fire
+    before any device work."""
+    from tactilesr_tpu.runtime.trainer import Trainer
+
+    kw = dict(
+        model=None, variables={}, tx=None, lr_schedule=None,
+        train_arrays={"x": np.zeros((4, 1))}, batch_size=2,
+        work_dir=str(tmp_path),
+    )
+    with pytest.raises(AssertionError, match="either max_epochs or max_iters"):
+        Trainer(**kw)  # neither
+    with pytest.raises(AssertionError, match="either max_epochs or max_iters"):
+        Trainer(max_epochs=1, max_iters=1, **kw)  # both
+    with pytest.raises(AssertionError, match="scan_epochs requires epoch"):
+        Trainer(max_iters=4, scan_epochs=True, **kw)
+
+
+def test_trainer_base_train_cal_loss_raises(tmp_path):
+    """The base Trainer is an extension point: train_cal_loss must be
+    overridden (trainer.py:246, mirroring the reference's warning)."""
+    import optax
+
+    from tactilesr_tpu.runtime.trainer import Trainer
+
+    tr = Trainer(
+        model=None, variables={"params": {}}, tx=optax.sgd(0.1),
+        lr_schedule=None, train_arrays={"x": np.zeros((4, 1))},
+        batch_size=2, max_epochs=1, work_dir=str(tmp_path),
+    )
+    with pytest.raises(NotImplementedError, match="train_cal_loss"):
+        tr.train_cal_loss(None, {"x": np.zeros((2, 1))}, True)
+
+
+def test_eval_hook_rejects_non_scalar_results():
+    from tactilesr_tpu.runtime.hooks.builtin import EvalHook
+
+    hook = EvalHook(1, lambda: {"PSNR": "not-a-number"})
+    with pytest.raises(AssertionError, match="must be a scalar"):
+        hook._do_eval()
+    # None result is allowed and a no-op even with no trainer attached
+    EvalHook(1, lambda: None)._do_eval()
+
+
+def test_sr_dataset_missing_file_message(tmp_path):
+    from tactilesr_tpu.data.datasets import TactileSRDataset
+
+    with pytest.raises(FileNotFoundError, match="tactilesr_tpu.data.generate"):
+        TactileSRDataset(str(tmp_path / "nope.npz"))
+
+
+def test_make_mesh_divisibility_guard():
+    import jax
+
+    from tactilesr_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    assert n == 8  # conftest forces the 8-device CPU mesh
+    with pytest.raises(AssertionError, match="not divisible"):
+        make_mesh(model_parallel=3)
+
+
+def test_scalar_writer_jsonl_fallback(tmp_path, monkeypatch):
+    """Images without tensorboard fall back to scalars.jsonl — force the
+    import failure and exercise add_scalar/flush/close on that path."""
+    import json as _json
+    import sys
+
+    for mod in list(sys.modules):
+        if mod.startswith("tensorboard"):
+            monkeypatch.delitem(sys.modules, mod)
+    monkeypatch.setitem(sys.modules, "tensorboard", None)  # import -> error
+    w = ScalarWriter(str(tmp_path / "tb"))
+    assert w._impl is None and w._jsonl is not None
+    w.add_scalar("loss", 0.5, 3)
+    w.flush()
+    w.close()
+    lines = (tmp_path / "tb" / "scalars.jsonl").read_text().splitlines()
+    assert _json.loads(lines[0]) == {"tag": "loss", "value": 0.5, "step": 3}
+
+
+def test_config_parser_flag_typing_and_save_args(tmp_path):
+    import argparse
+
+    from tactilesr_tpu.config.parser import add_config_args, apply_overrides
+
+    cfg = {"lr": 1e-3, "epochs": 5, "name": "x", "aug": False, "paths": [1]}
+    p = argparse.ArgumentParser()
+    add_config_args(p, cfg)  # list-valued key gets no flag
+    args = p.parse_args(["--lr", "0.5", "--aug", "true", "--name", "y"])
+    out = apply_overrides(cfg, args)
+    assert out["lr"] == 0.5 and out["aug"] is True and out["name"] == "y"
+    assert out["epochs"] == 5 and out["paths"] == [1]  # untouched
+    with pytest.raises(SystemExit):
+        p.parse_args(["--paths", "2"])  # non-scalar keys are not flags
+    # save_args: yaml on process 0, no-op elsewhere
+    f = tmp_path / "args.yaml"
+    save_args(args, str(f), process_index=1)
+    assert not f.exists()
+    save_args(args, str(f), excluded_fields=["name"], process_index=0)
+    import yaml
+
+    loaded = yaml.safe_load(f.read_text())
+    assert loaded["lr"] == 0.5 and "name" not in loaded
+
+
+def test_collect_env_and_seed_fallbacks(monkeypatch):
+    import sys
+
+    from tactilesr_tpu.runtime.misc import collect_env, set_random_seed
+
+    monkeypatch.delitem(sys.modules, "tabulate", raising=False)
+    monkeypatch.setitem(sys.modules, "tabulate", None)  # import -> error
+    report = collect_env()  # width-aligned plain fallback
+    assert "jax" in report and "numpy" in report
+    monkeypatch.setenv("XLA_FLAGS", "")
+    s = set_random_seed(123, deterministic=True)
+    assert s == 123
+    assert "--xla_gpu_deterministic_ops" in os.environ["XLA_FLAGS"]

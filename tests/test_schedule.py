@@ -225,3 +225,65 @@ def test_plateau_mode():
         lrs.append(sched.get_lr())
     assert lrs[0] == 1e-3  # first sets best
     assert min(lrs) < 1e-3
+
+
+@pytest.mark.parametrize(
+    "mode,threshold_mode,threshold,cooldown",
+    [
+        ("max", "rel", 1e-4, 0),      # max mode
+        ("min", "abs", 0.05, 0),      # abs threshold
+        ("min", "rel", 1e-4, 2),      # cooldown
+        ("max", "abs", 0.02, 3),      # everything at once
+    ],
+)
+def test_plateau_golden_vs_torch(mode, threshold_mode, threshold, cooldown):
+    """ReduceLROnPlateau's max-mode / abs-threshold / cooldown branches
+    (schedule.py:105-138) golden-tested against torch's implementation on
+    a noisy plateauing metric sequence."""
+    kw = dict(
+        mode=mode, factor=0.5, patience=1, threshold=threshold,
+        threshold_mode=threshold_mode, cooldown=cooldown, min_lr=1e-5,
+    )
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-3)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **kw)
+    ours = ReduceLROnPlateau(1e-3, **kw)
+    rng = np.random.default_rng(0)
+    base = rng.random(40) * 0.1
+    metrics = (1.0 + base) if mode == "min" else (1.0 - base)
+    for m in metrics:
+        tsched.step(float(m))
+        ours.step(float(m))
+        assert np.isclose(ours.lr, opt.param_groups[0]["lr"]), (
+            f"diverged at metric {m}"
+        )
+    assert ours.lr < 1e-3  # the sequence actually triggered reductions
+
+
+def test_plateau_state_roundtrip():
+    """state_dict/load_state_dict (schedule.py:140-155) resume exactly."""
+    kw = dict(mode="min", factor=0.5, patience=1, cooldown=1)
+    a = ReduceLROnPlateau(1e-3, **kw)
+    metrics = [1.0, 1.1, 1.2, 0.9, 1.3, 1.4, 1.5, 1.6]
+    for m in metrics[:4]:
+        a.step(m)
+    b = ReduceLROnPlateau(1e-3, **kw)
+    b.load_state_dict(a.state_dict())
+    for m in metrics[4:]:
+        a.step(m)
+        b.step(m)
+        assert a.lr == b.lr
+    assert a.state_dict() == b.state_dict()
+    assert a.lr < 1e-3
+
+
+def test_steplr_state_roundtrip():
+    a = StepLR(1e-3, 2, 0.8)
+    for _ in range(3):
+        a.step()
+    b = StepLR(1e-3, 2, 0.8)
+    b.load_state_dict(a.state_dict())
+    for _ in range(4):
+        a.step()
+        b.step()
+        assert a.lr == b.lr

@@ -368,3 +368,37 @@ def test_stablehlo_export_roundtrip(tmp_path, rng):
     )
     want = pred.predict(x)
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_rejects_unknown_arch(tmp_path):
+    ckpt = _make_ckpt(tmp_path)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown model_arch"):
+        SRPredictor(ckpt, model_arch="SRGAN")
+
+
+def test_fold_error_messages(tmp_path):
+    """The fused loader's diagnosis branches (serving.py:192-212): a
+    checkpoint with no batch_stats names the real cause; an architecture-
+    knob mismatch names the knobs to check."""
+    import pytest
+
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=1, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+    )
+    v = jax.device_get(
+        model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
+    )
+    nostats = str(tmp_path / "nostats.ckpt")
+    save_checkpoint_file(
+        nostats,
+        {"num_devices": 1, "model": {"params": v["params"], "batch_stats": {}},
+         "epoch": 0},
+    )
+    with pytest.raises(KeyError, match="no batch_stats"):
+        SRPredictor(nostats, scale_factor=4, pattern_layers=1, force_layers=1)
+    ckpt = _make_ckpt(tmp_path, pattern_layers=1)
+    with pytest.raises(KeyError, match="pattern_layers=2"):
+        SRPredictor(ckpt, scale_factor=4, pattern_layers=2, force_layers=1)
