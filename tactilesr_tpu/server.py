@@ -270,6 +270,10 @@ class SRServer(ThreadingHTTPServer):
     """ThreadingHTTPServer wired to one predictor + one MicroBatcher."""
 
     daemon_threads = True
+    # the whole point of the micro-batcher is bursts of concurrent
+    # clients; the socketserver default backlog of 5 resets connections
+    # under exactly that load (measured by scripts/bench_server.py)
+    request_queue_size = 128
 
     def __init__(self, addr, predictor: SRPredictor, batcher: MicroBatcher,
                  checkpoint_path: str):
