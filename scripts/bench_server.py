@@ -93,6 +93,8 @@ def run_phase(url, n_clients, reqs_per_client, frames_per_req, rng):
     after = stats(url)
     frames = n_clients * reqs_per_client * frames_per_req
     dispatches = after["batches"] - before["batches"]
+    # (max_coalesced_requests is a cumulative max in /stats -- no per-phase
+    # delta exists, so it is reported once at the end, not per phase)
     return {
         "clients": n_clients,
         "reqs_per_client": reqs_per_client,
@@ -100,7 +102,6 @@ def run_phase(url, n_clients, reqs_per_client, frames_per_req, rng):
         "frames_per_sec": round(frames / dt, 1),
         "dispatches": dispatches,
         "frames_per_dispatch": round(frames / max(dispatches, 1), 2),
-        "max_coalesced_requests": after["max_coalesced_requests"],
     }
 
 
@@ -137,6 +138,9 @@ def main():
     seq = results["sequential_1client_1frame"]["frames_per_sec"]
     conc = results[f"concurrent_{args.clients}clients_1frame"]["frames_per_sec"]
     results["coalescing_speedup_1frame"] = round(conc / seq, 2)
+    results["max_coalesced_requests_overall"] = stats(url)[
+        "max_coalesced_requests"
+    ]
     print(json.dumps(results, indent=1))
     srv.shutdown()
     srv.batcher.shutdown()

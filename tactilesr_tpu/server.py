@@ -82,6 +82,7 @@ class MicroBatcher:
         self.max_batch = int(max_batch or predictor.buckets[-1])
         self.linger_s = float(linger_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
         self._lock = threading.Lock()
         self.stats = {
             "requests": 0,
@@ -96,6 +97,8 @@ class MicroBatcher:
 
     def submit(self, lr: np.ndarray) -> np.ndarray:
         """(N, C, 4, 4) readings -> (N, 1, 4s, 4s) maps; thread-safe."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is shut down")
         lr = np.asarray(lr, np.float32)
         c = self.predictor.in_channels
         if lr.ndim != 4 or lr.shape[1:] != (c, 4, 4) or lr.shape[0] == 0:
@@ -106,12 +109,30 @@ class MicroBatcher:
         self._q.put(item)
         item.event.wait()
         if item.error is not None:
-            raise item.error
+            # a fresh exception per caller: a coalesced batch shares one
+            # failure, and re-raising the same instance from N threads
+            # cross-mutates its traceback
+            raise RuntimeError(
+                f"batched predict failed: "
+                f"{type(item.error).__name__}: {item.error}"
+            )
         return item.result
 
     def shutdown(self, timeout_s: float = 10.0) -> None:
+        self._closed = True  # new submits fail fast from here on
         self._q.put(_SHUTDOWN)
         self._worker.join(timeout_s)
+        # fail any straggler that raced past the _closed check and landed
+        # behind the sentinel -- its event would otherwise never be set
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is _SHUTDOWN:
+                continue
+            item.error = RuntimeError("MicroBatcher is shut down")
+            item.event.set()
 
     def _collect(self, first: _Pending):
         """The batching policy: linger briefly, stop at max_batch."""
@@ -255,14 +276,23 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, {"error": f"bad reload request: {e}"})
             return
         try:
-            self.server.predictor.reload_checkpoint(path)
+            # serialize reload-vs-reload: predictor weights and the
+            # reported checkpoint_path must move together (predict-vs-
+            # reload needs no lock -- per-call weight snapshot)
+            with self.server.reload_lock:
+                self.server.predictor.reload_checkpoint(path)
+                self.server.checkpoint_path = path
         except FileNotFoundError as e:
             self._send_json(404, {"error": str(e), "serving": "previous weights"})
         except (ValueError, KeyError) as e:
             # architecture mismatch: refused, previous weights keep serving
             self._send_json(409, {"error": str(e), "serving": "previous weights"})
+        except Exception as e:  # unreadable path etc. -- still answer HTTP
+            self._send_json(
+                500,
+                {"error": f"{type(e).__name__}: {e}", "serving": "previous weights"},
+            )
         else:
-            self.server.checkpoint_path = path
             self._send_json(200, {"reloaded": path})
 
 
@@ -281,6 +311,7 @@ class SRServer(ThreadingHTTPServer):
         self.predictor = predictor
         self.batcher = batcher
         self.checkpoint_path = checkpoint_path
+        self.reload_lock = threading.Lock()
 
     def health(self) -> dict:
         p = self.predictor

@@ -40,3 +40,35 @@ def rng():
 @pytest.fixture
 def tmp_work_dir(tmp_path):
     return str(tmp_path / "work_dir")
+
+
+def make_sr_checkpoint(
+    path, seed=0, pattern_layers=1, force_layers=1, seqs_cnt=1,
+    scale_factor=4, epoch=0,
+):
+    """Random-init TactileSR checkpoint bundle (the one layout every
+    serving/server test needs); shared so the format lives in one place."""
+    import jax.numpy as jnp
+
+    from tactilesr_tpu.models.tactile_sr import TactileSR
+    from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+
+    model = TactileSR(
+        scale_factor=scale_factor, seqs_cnt=seqs_cnt, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=force_layers,
+    )
+    c = seqs_cnt * 3
+    v = jax.device_get(
+        model.init(jax.random.key(seed), jnp.zeros((1, c, 4, 4)), train=False)
+    )
+    path = str(path)
+    save_checkpoint_file(
+        path,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            "epoch": epoch,
+        },
+    )
+    return path

@@ -14,11 +14,6 @@ import urllib.request
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
-
-from tactilesr_tpu.models.tactile_sr import TactileSR
-from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
 from tactilesr_tpu.server import MicroBatcher, create_server
 from tactilesr_tpu.serving import SRPredictor
 
@@ -29,24 +24,11 @@ PRED_KW = dict(
 
 
 def _make_ckpt(tmp_path, name="model.ckpt", seed=0, pattern_layers=1):
-    model = TactileSR(
-        scale_factor=4, seqs_cnt=1, axis_cnt=3,
-        pattern_feature_extra_layer_cnt=pattern_layers,
-        force_feature_extra_layer_cnt=1,
+    from conftest import make_sr_checkpoint
+
+    return make_sr_checkpoint(
+        tmp_path / name, seed=seed, pattern_layers=pattern_layers
     )
-    v = jax.device_get(
-        model.init(jax.random.key(seed), jnp.zeros((1, 3, 4, 4)), train=False)
-    )
-    path = str(tmp_path / name)
-    save_checkpoint_file(
-        path,
-        {
-            "num_devices": 1,
-            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
-            "epoch": 0,
-        },
-    )
-    return path
 
 
 def _post(url, body, ctype="application/x-npz"):
@@ -174,6 +156,16 @@ def test_concurrent_requests_coalesce(server, rng):
 
 def test_reload_endpoint(server, rng, tmp_path):
     srv, base, ckpt, tmp = server
+    try:
+        _reload_scenarios(base, ckpt, rng, tmp_path)
+    finally:
+        # restore the module-scoped server's original weights so the other
+        # tests stay order-independent
+        _post(base + "/reload", json.dumps({"checkpoint": ckpt}).encode(),
+              ctype="application/json")
+
+
+def _reload_scenarios(base, ckpt, rng, tmp_path):
     lr = (rng.random((3, 3, 4, 4)) * 4).astype(np.float32)
     _, body0, _ = _post(base + "/predict", _npz(LR=lr))
     # same-architecture reload: outputs change, health reports the new path
@@ -228,3 +220,50 @@ def test_microbatcher_oversized_request(tmp_path, rng):
         )
     finally:
         mb.shutdown()
+
+
+def test_reload_unreadable_path_returns_500(server, tmp_path):
+    """Failures outside the known classes (e.g. a directory path) still get
+    an HTTP answer — 500 with the previous weights serving."""
+    _, base, ckpt, _ = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/reload",
+              json.dumps({"checkpoint": str(tmp_path)}).encode(),
+              ctype="application/json")
+    assert ei.value.code == 500
+    with urllib.request.urlopen(base + "/healthz") as r:
+        assert json.loads(r.read())["checkpoint"] == ckpt
+
+
+def test_microbatcher_shutdown_fails_fast(tmp_path, rng):
+    """After shutdown(): new submits raise immediately instead of hanging,
+    and stragglers that raced behind the sentinel are failed, not leaked."""
+    import queue as _queue
+    import threading as _threading
+
+    ckpt = _make_ckpt(tmp_path)
+    pred = SRPredictor(ckpt, **PRED_KW)
+    mb = MicroBatcher(pred, linger_ms=0.5)
+    lr = (rng.random((1, 3, 4, 4)) * 4).astype(np.float32)
+    assert mb.submit(lr).shape == (1, 1, 16, 16)
+    mb.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        mb.submit(lr)
+    # simulate the race: an item enqueued after the worker exited
+    straggler_err = []
+
+    def straggler():
+        item_q = mb._q
+        from tactilesr_tpu.server import _Pending
+
+        item = _Pending(lr)
+        item_q.put(item)
+        item.event.wait(10)
+        straggler_err.append(item.error)
+
+    t = _threading.Thread(target=straggler)
+    t.start()
+    t.join(1)
+    mb.shutdown()  # idempotent; drains and fails the straggler
+    t.join(10)
+    assert straggler_err and isinstance(straggler_err[0], RuntimeError)

@@ -13,24 +13,11 @@ from tactilesr_tpu.models.tactile_sr import TactileSR
 
 
 def _make_ckpt(tmp_path, pattern_layers=1):
-    model = TactileSR(
-        scale_factor=4, seqs_cnt=1, axis_cnt=3,
-        pattern_feature_extra_layer_cnt=pattern_layers,
-        force_feature_extra_layer_cnt=1,
+    from conftest import make_sr_checkpoint
+
+    return make_sr_checkpoint(
+        tmp_path / "model.ckpt", pattern_layers=pattern_layers
     )
-    v = jax.device_get(
-        model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
-    )
-    path = str(tmp_path / "model.ckpt")
-    save_checkpoint_file(
-        path,
-        {
-            "num_devices": 1,
-            "model": {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
-            "epoch": 0,
-        },
-    )
-    return path
 
 
 def test_predict_shapes_and_bucketing(tmp_path, rng):
