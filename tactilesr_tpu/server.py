@@ -31,6 +31,7 @@ Endpoints
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import logging
@@ -52,13 +53,14 @@ _SHUTDOWN = object()
 
 
 class _Pending:
-    __slots__ = ("arr", "event", "result", "error")
+    __slots__ = ("arr", "event", "result", "error", "t0")
 
     def __init__(self, arr: np.ndarray):
         self.arr = arr
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        self.t0 = time.monotonic()  # enqueue time, for latency stats
 
 
 class MicroBatcher:
@@ -90,6 +92,8 @@ class MicroBatcher:
             "batches": 0,
             "max_coalesced_requests": 0,
         }
+        # last-N request latencies (enqueue -> rows ready), for /stats
+        self._latencies = collections.deque(maxlen=512)
         self._worker = threading.Thread(
             target=self._run, name="microbatcher", daemon=True
         )
@@ -179,6 +183,7 @@ class MicroBatcher:
             finally:
                 # stats first, wake-ups last: a caller that has its response
                 # always sees its own dispatch reflected in /stats
+                now = time.monotonic()
                 with self._lock:
                     self.stats["requests"] += len(batch)
                     self.stats["frames"] += total
@@ -186,15 +191,23 @@ class MicroBatcher:
                     self.stats["max_coalesced_requests"] = max(
                         self.stats["max_coalesced_requests"], len(batch)
                     )
+                    self._latencies.extend(now - p.t0 for p in batch)
                 for p in batch:
                     p.event.set()
 
     def snapshot_stats(self) -> dict:
         with self._lock:
             s = dict(self.stats)
+            lats = sorted(self._latencies)
         s["avg_frames_per_dispatch"] = (
             round(s["frames"] / s["batches"], 2) if s["batches"] else 0.0
         )
+        if lats:
+            pick = lambda q: round(lats[int(q * (len(lats) - 1))] * 1e3, 2)
+            s["latency_ms"] = {
+                "p50": pick(0.50), "p95": pick(0.95), "p99": pick(0.99),
+                "window": len(lats),
+            }
         return s
 
 

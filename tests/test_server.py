@@ -267,3 +267,16 @@ def test_microbatcher_shutdown_fails_fast(tmp_path, rng):
     mb.shutdown()  # idempotent; drains and fails the straggler
     t.join(10)
     assert straggler_err and isinstance(straggler_err[0], RuntimeError)
+
+
+def test_stats_latency_percentiles(server, rng):
+    """/stats reports p50/p95/p99 request latency over a sliding window."""
+    _, base, _, _ = server
+    for _ in range(3):
+        _post(base + "/predict",
+              _npz(LR=(rng.random((1, 3, 4, 4)) * 4).astype(np.float32)))
+    with urllib.request.urlopen(base + "/stats") as r:
+        s = json.loads(r.read())
+    lat = s["latency_ms"]
+    assert lat["window"] >= 3
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
