@@ -162,3 +162,53 @@ def test_platform_env_var_beats_site_pin():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "BACKEND=cpu" in r.stdout
+
+
+def test_server_cli_subprocess(tmp_path):
+    """`python -m tactilesr_tpu.server` end to end in a subprocess: binds an
+    ephemeral port, prints the one-line JSON address on stdout, answers
+    healthz/predict/stats over HTTP, and dies cleanly on SIGTERM."""
+    import io
+    import json
+    import signal
+    import time
+    import urllib.request
+
+    from conftest import make_sr_checkpoint
+
+    ckpt = make_sr_checkpoint(tmp_path / "model.ckpt")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "tactilesr_tpu.server",
+            "--checkpoint", ckpt, "--port", "0",
+            "--scale-factor", "4", "--pattern-layers", "1",
+            "--force-layers", "1", "--compute-dtype", "float32",
+        ],
+        cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        line = proc.stdout.readline()  # blocks until warmup finishes
+        base = json.loads(line)["serving"]
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        buf = io.BytesIO()
+        np.savez(buf, LR=np.random.rand(3, 3, 4, 4).astype(np.float32))
+        req = urllib.request.Request(
+            base + "/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npz"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+            with np.load(io.BytesIO(r.read())) as z:
+                assert z["SR"].shape == (3, 1, 16, 16)
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["frames"] == 3 and "latency_ms" in s
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise

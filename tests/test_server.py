@@ -280,3 +280,32 @@ def test_stats_latency_percentiles(server, rng):
     lat = s["latency_ms"]
     assert lat["window"] >= 3
     assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
+
+
+def test_server_over_device_mesh(tmp_path, rng):
+    """The endpoint composes with data-parallel serving: a server whose
+    predictor shards batches over the 8-device mesh returns the same maps
+    as the unmeshed predictor (the --data-parallel CLI path)."""
+    from tactilesr_tpu.parallel.mesh import resolve_mesh
+
+    ckpt = _make_ckpt(tmp_path)
+    mesh = resolve_mesh("auto")
+    assert mesh is not None and mesh.shape["data"] == 8
+    srv = create_server(
+        ckpt, linger_ms=2.0, warmup=False, mesh=mesh,
+        scale_factor=4, pattern_layers=1, force_layers=1,
+        compute_dtype="float32", buckets=(8,),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://%s:%d" % srv.server_address
+        lr = (rng.random((5, 3, 4, 4)) * 4).astype(np.float32)
+        _, body, _ = _post(base + "/predict", _npz(LR=lr))
+        with np.load(io.BytesIO(body)) as z:
+            sr = z["SR"]
+        direct = SRPredictor(ckpt, **PRED_KW).predict(lr)
+        np.testing.assert_allclose(sr, direct, rtol=1e-5, atol=1e-5)
+    finally:
+        srv.shutdown()
+        srv.batcher.shutdown()
