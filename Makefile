@@ -1,4 +1,11 @@
-.PHONY: test bench bench-train demo clean
+.PHONY: test bench bench-train bench-server serve demo clean
+
+# micro-batched HTTP endpoint (see README "Serving"); CKPT=path required
+serve:
+	python -m tactilesr_tpu.server --checkpoint $(CKPT)
+
+bench-server:
+	python scripts/bench_server.py
 
 test:
 	python -m pytest tests/ -q

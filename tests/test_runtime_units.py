@@ -326,3 +326,12 @@ def test_collect_env_and_seed_fallbacks(monkeypatch):
     s = set_random_seed(123, deterministic=True)
     assert s == 123
     assert "--xla_gpu_deterministic_ops" in os.environ["XLA_FLAGS"]
+
+
+def test_device_burn_in_cpu():
+    """test_device (the reference's test_gpu analogue, utility/tools.py:27-46)
+    runs a timed matmul burn-in and reports a positive TFLOP/s figure."""
+    from tactilesr_tpu.runtime.device import test_device
+
+    tflops = test_device(test_time=0.3)
+    assert tflops > 0
