@@ -2,7 +2,6 @@
 synthetic fixtures, loaders."""
 
 import numpy as np
-import pytest
 
 from tactilesr_tpu.data import (
     SingleTapSeqsDataset,

@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from tactilesr_tpu.parallel import (
     all_gather_object,

@@ -1,10 +1,8 @@
 """Golden tests for the separable tPSF physics against direct formulations
 and against an independent numpy transcription of the reference math."""
 
-import math
 
 import numpy as np
-import pytest
 import torch
 import torch.nn.functional as F
 

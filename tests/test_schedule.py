@@ -6,7 +6,6 @@ import pytest
 import torch
 
 from tactilesr_tpu.runtime.schedule import (
-    ConstantLR,
     LRWarmupSchedule,
     ReduceLROnPlateau,
     StepLR,

@@ -1,6 +1,5 @@
 """Serving: checkpoint load, bucketed batched prediction, padding behavior."""
 
-import os
 
 import numpy as np
 

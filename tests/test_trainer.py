@@ -15,7 +15,6 @@ from tactilesr_tpu.runtime import (
     LRWarmupSchedule,
     StepLR,
     adam_l2,
-    load_checkpoint_file,
     merge_pytree_strict_false,
     scale_updates_by_lr,
 )
