@@ -91,3 +91,16 @@ def test_bench_require_device_returns_on_live_backend():
 
     dev = bench.require_device(timeout_s=120)
     assert dev is jax.devices()[0]
+
+
+def test_module_main_prints_command_index():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "tactilesr_tpu"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0
+    assert "tactilesr_tpu.server" in out.stdout
+    assert "tPSFNet_train.py" in out.stdout
