@@ -121,9 +121,10 @@ tactileSR_config = {
     # "reference" keeps the reference's Kaiming fan_out on the final
     # conv->ReLU head (which can be born dead on an unlucky draw -- the
     # eval then freezes at mean(HR^2); see RESULTS.md); "non_negative"
-    # folds that one kernel to |Kaiming| so the head is alive for every
-    # seed.  Same param tree either way (checkpoint-compatible); additive
-    # over the reference.
+    # folds that one kernel to |Kaiming|/sqrt(fan_in) so the head is alive
+    # for every seed AND scale-matched (measured: +4 dB over the trained
+    # torch reference, RESULTS.md "head-init study").  Same param tree
+    # either way (checkpoint-compatible); additive over the reference.
     "head_init": "reference",
     "inference_test": True,
     "save_dir": os.path.join(root_path, "pth/tactileSR_single"),

@@ -35,7 +35,7 @@ kaiming_normal_fan_out = jax.nn.initializers.variance_scaling(
 
 
 def non_negative_kaiming_fan_out(key, shape, dtype=jnp.float32):
-    """|Kaiming fan_out|: same magnitudes, all-positive signs.
+    """|Kaiming fan_out| / sqrt(fan_in): all-positive, scale-compensated.
 
     The reference architecture ends every SR network with
     conv(no bias) -> ReLU (model/tactileSR_model.py:84-86).  Its inputs are
@@ -43,13 +43,21 @@ def non_negative_kaiming_fan_out(key, shape, dtype=jnp.float32):
     mass never dominates leaves the pre-activation negative for every
     sample -- the ReLU gradient is then exactly zero and the whole network
     is frozen at init (observed: seed 3 of the head-to-head study, eval
-    loss pinned at mean(HR^2)).  Folding the weights to their absolute
-    value keeps the init scale but guarantees a non-negative pre-activation
-    wherever any input feature fires, so the head can never be born dead.
-    Opt-in via ``head_init: non_negative`` (the default stays
-    reference-exact).
+    loss pinned at mean(HR^2)).  Taking absolute values guarantees a
+    positive pre-activation wherever any input feature fires, so the head
+    can never be born dead -- but it also changes the growth law: a
+    random-sign draw sums fan_in terms to std ~ sqrt(fan_in)*sigma while
+    all-positive weights on positive features sum to MEAN ~ fan_in*E|w|.
+    At this head's fan_in (3*3*64 = 576) the raw |Kaiming| fold starts the
+    output ~24x too large, and a low-lr recipe spends its whole budget
+    walking that back (measured, MTSR seed-0 revival: 36.9 dB unscaled vs
+    52.6 / 57.2 dB at 0.1x / 0.02x -- RESULTS.md "head-init study").
+    Dividing by sqrt(fan_in) restores the sqrt-growth of the sign-random
+    law while keeping every weight positive.  Opt-in via
+    ``head_init: non_negative`` (the default stays reference-exact).
     """
-    return jnp.abs(kaiming_normal_fan_out(key, shape, dtype))
+    fan_in = float(np.prod(shape[:-1])) or 1.0
+    return jnp.abs(kaiming_normal_fan_out(key, shape, dtype)) / np.sqrt(fan_in)
 
 
 def torch_conv_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):

@@ -159,7 +159,10 @@ def test_head_init_non_negative_same_tree_and_signs(rng):
     k_ref = np.asarray(ref["params"]["output_conv1"]["conv"]["kernel"])
     k_pos = np.asarray(pos["params"]["output_conv1"]["conv"]["kernel"])
     assert np.all(k_pos >= 0)
-    np.testing.assert_allclose(k_pos, np.abs(k_ref), rtol=1e-6)
+    # |Kaiming| scaled by 1/sqrt(fan_in) (growth-law compensation; see
+    # models/layers.py::non_negative_kaiming_fan_out)
+    fan_in = np.prod(k_ref.shape[:-1])
+    np.testing.assert_allclose(k_pos, np.abs(k_ref) / np.sqrt(fan_in), rtol=1e-6)
     # every other kernel is untouched
     np.testing.assert_allclose(
         np.asarray(ref["params"]["output_conv0"]["conv"]["kernel"]),
