@@ -86,6 +86,11 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
+        # serializes the closed-check+enqueue in submit() against
+        # shutdown() flipping _closed: an item observed open is enqueued
+        # BEFORE the sentinel, so the worker (or the post-join drain)
+        # always completes its event -- no caller can block forever
+        self._close_lock = threading.Lock()
         self.stats = {
             "requests": 0,
             "frames": 0,
@@ -101,8 +106,6 @@ class MicroBatcher:
 
     def submit(self, lr: np.ndarray) -> np.ndarray:
         """(N, C, 4, 4) readings -> (N, 1, 4s, 4s) maps; thread-safe."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is shut down")
         lr = np.asarray(lr, np.float32)
         c = self.predictor.in_channels
         if lr.ndim != 4 or lr.shape[1:] != (c, 4, 4) or lr.shape[0] == 0:
@@ -110,7 +113,10 @@ class MicroBatcher:
                 f"expected (N>=1, {c}, 4, 4) readings, got {lr.shape}"
             )
         item = _Pending(lr)
-        self._q.put(item)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is shut down")
+            self._q.put(item)
         item.event.wait()
         if item.error is not None:
             # a fresh exception per caller: a coalesced batch shares one
@@ -123,8 +129,11 @@ class MicroBatcher:
         return item.result
 
     def shutdown(self, timeout_s: float = 10.0) -> None:
-        self._closed = True  # new submits fail fast from here on
-        self._q.put(_SHUTDOWN)
+        with self._close_lock:
+            # under the lock, any submit that saw _closed == False has
+            # already enqueued, so its item sits AHEAD of the sentinel
+            self._closed = True  # new submits fail fast from here on
+            self._q.put(_SHUTDOWN)
         self._worker.join(timeout_s)
         # fail any straggler that raced past the _closed check and landed
         # behind the sentinel -- its event would otherwise never be set
