@@ -48,8 +48,10 @@ def non_negative_kaiming_fan_out(key, shape, dtype=jnp.float32):
     can never be born dead -- but it also changes the growth law: a
     random-sign draw sums fan_in terms to std ~ sqrt(fan_in)*sigma while
     all-positive weights on positive features sum to MEAN ~ fan_in*E|w|.
-    At this head's fan_in (3*3*64 = 576) the raw |Kaiming| fold starts the
-    output ~24x too large, and a low-lr recipe spends its whole budget
+    At the TactileSR head's fan_in (output_conv1 reads the 128-channel
+    fusion: 3*3*128 = 1152) the raw |Kaiming| fold starts the output
+    ~34x too large (TactileSRCNN's 64-channel head: sqrt(576) = 24x),
+    and a low-lr recipe spends its whole budget
     walking that back (measured, MTSR seed-0 revival: 36.9 dB unscaled vs
     52.6 / 57.2 dB at 0.1x / 0.02x -- RESULTS.md "head-init study").
     Dividing by sqrt(fan_in) restores the sqrt-growth of the sign-random

@@ -135,8 +135,16 @@ class MicroBatcher:
             self._closed = True  # new submits fail fast from here on
             self._q.put(_SHUTDOWN)
         self._worker.join(timeout_s)
-        # fail any straggler that raced past the _closed check and landed
-        # behind the sentinel -- its event would otherwise never be set
+        if self._worker.is_alive():
+            # the worker is mid-batch past the join budget.  Leave the
+            # queue alone: the close lock guarantees every pending item
+            # precedes the sentinel, so the live worker will complete
+            # them all and exit when it pops the sentinel.  Draining
+            # here would eat the sentinel and strand the worker on
+            # _q.get() forever.
+            return
+        # worker is dead (it died on an unexpected error before reaching
+        # the sentinel): fail anything it left behind so no caller waits
         while True:
             try:
                 item = self._q.get_nowait()

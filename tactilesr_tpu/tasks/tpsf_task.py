@@ -155,6 +155,12 @@ class InferenceHookTPSF(HookBase):
         from ..parallel.mesh import host_local_copy
 
         params = host_local_copy(params)  # eager apply under a mp mesh
+        if getattr(model, "mesh", None) is not None:
+            # drop the training mesh for the render: the PNG is a tiny
+            # host-side path, and a process-spanning mesh cannot be
+            # shard_mapped eagerly from a single process (the Pallas
+            # physics branch would see non-addressable devices)
+            model = model.clone(mesh=None)
 
         fig = plt.figure(figsize=(10, 6), tight_layout=True)
         gs = gridspec.GridSpec(2, 4)
