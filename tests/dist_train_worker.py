@@ -60,6 +60,44 @@ def main() -> None:
     )
     trainer = sr_main(cfg, max_epochs=2)
 
+    # The tPSF curves render in the hairiest multi-host configuration: the
+    # hook is registered only on the MAIN process (as in production), so
+    # rank 0 renders ALONE while a TPSFNet carries the process-spanning
+    # mesh with the Pallas physics path on and a sequence length divisible
+    # by the data axis.  render() drops the mesh and applies purely
+    # locally; this pins that the per-epoch PNG (and inspect_checkpoint)
+    # stays single-sided-safe -- a spanning shard_map entered from one
+    # process is at the mercy of jax version behavior the moment any
+    # output is materialized.  Rank > 0 skips, exactly like the hook.
+    tpsf_png = None  # None = skipped (non-main rank)
+    tpsf_err = ""
+    if rank == 0:
+        tpsf_png = False
+        try:
+            import numpy as np
+
+            from tactilesr_tpu.models.tpsf_net import TPSFNet
+            from tactilesr_tpu.tasks.tpsf_task import InferenceHookTPSF
+
+            rng = np.random.default_rng(0)
+            seq = {
+                "LR": rng.uniform(0, 100, (8, 3, 4, 4)).astype(np.float32),
+                "depth": rng.uniform(0, 1, (8, 100, 100)).astype(np.float32),
+            }
+            model = TPSFNet(use_pallas=True, mesh=trainer.mesh)
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jax.numpy.asarray(seq["LR"][:1]),
+                jax.numpy.asarray(seq["depth"][:1, None]),
+                return_psf=False,
+            )["params"]
+            hook = InferenceHookTPSF(seq, seq)
+            png = os.path.join(work_dir, "curves_rank0.png")
+            hook.render(png, model=model, params=params)
+            tpsf_png = os.path.exists(png)
+        except Exception as e:  # surfaced through the RESULT line
+            tpsf_err = f"{type(e).__name__}: {e}"
+
     storage = trainer.metric_storage
     losses = (
         storage["total_loss"].state_dict()["values"]
@@ -83,6 +121,8 @@ def main() -> None:
                 else 1,
                 "losses": losses,
                 "evals": evals,
+                "tpsf_png": tpsf_png,
+                "tpsf_err": tpsf_err,
                 "ckpts": sorted(
                     os.path.basename(p)
                     for p in glob.glob(os.path.join(trainer.ckpt_dir, "*"))

@@ -169,6 +169,14 @@ def test_two_process_training_matches_single_process(tmp_path):
                 multi[rank]["evals"][key], vals, rtol=1e-4, atol=1e-6
             )
 
+    # the tPSF curves PNG renders on rank 0 ALONE (production registers
+    # the hook on the main process only) even though the model carries
+    # the process-spanning mesh: render must drop the mesh and apply
+    # locally, never entering a spanning shard_map single-sided
+    assert multi[0]["tpsf_png"] is True, multi[0]["tpsf_err"]
+    assert multi[1]["tpsf_png"] is None  # non-main rank skipped, as prod
+    assert base["tpsf_png"] is True, base["tpsf_err"]
+
     # rank-0-only artifacts
     assert "latest.ckpt" in multi[0]["ckpts"]
     assert any(c.startswith("epoch_1") for c in multi[0]["ckpts"])
