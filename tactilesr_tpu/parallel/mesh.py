@@ -152,12 +152,29 @@ def resolve_mesh(
     if spec is False or spec in (None, "off", "0", "1", 0, 1):
         return None
     n = len(devices)
+    # Group by owning process: a shrunken mesh must still cover EVERY
+    # process, else the excluded processes have no addressable shards --
+    # put_global raises there and the survivors hang in the first
+    # collective.  Shrinking is therefore done in whole multiples of the
+    # process count, taking devices evenly from each process.
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    nproc = len(by_proc)
+    per_proc_cap = min(len(v) for v in by_proc.values())
+
+    def pick(ndata):
+        if nproc == 1:
+            return list(devices)[:ndata]
+        per = ndata // nproc
+        return [d for pid in sorted(by_proc) for d in by_proc[pid][:per]]
+
     if spec == "auto":
-        ndata = n
+        ndata = per_proc_cap * nproc
         if batch_size is not None:
-            while batch_size % ndata:
-                ndata -= 1
-            if ndata != n:
+            while ndata > 0 and batch_size % ndata:
+                ndata -= nproc
+            if 0 < ndata < n:
                 logger.warning(
                     "data_parallel=auto: batch size %d not divisible by %d "
                     "devices; using a %d-device data axis",
@@ -166,19 +183,32 @@ def resolve_mesh(
                     ndata,
                 )
         if ndata <= 1:
+            if nproc > 1:
+                raise ValueError(
+                    f"data_parallel=auto: no multiple of the process count "
+                    f"({nproc}) divides batch size {batch_size}; a "
+                    f"multi-process run cannot fall back to independent "
+                    f"single-device replicas -- pick a divisible batch size"
+                )
             return None
-        return make_mesh(devices[:ndata])
+        return make_mesh(pick(ndata))
     ndata = int(spec)
     assert 1 <= ndata <= n, (
         f"data_parallel={ndata} requested but only {n} devices are present"
     )
+    if nproc > 1 and (ndata % nproc or ndata // nproc > per_proc_cap):
+        raise ValueError(
+            f"data_parallel={ndata} cannot be laid out evenly over "
+            f"{nproc} processes ({per_proc_cap} devices each); use a "
+            f"multiple of {nproc} up to {per_proc_cap * nproc}"
+        )
     if batch_size is not None and ndata > 1:
         assert batch_size % ndata == 0, (
             f"batch size {batch_size} must be divisible by data_parallel={ndata}"
         )
     if ndata == 1:
         return None
-    return make_mesh(devices[:ndata])
+    return make_mesh(pick(ndata))
 
 
 def resolve_mesh_from_config(config) -> Optional[Mesh]:

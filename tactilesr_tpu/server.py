@@ -228,6 +228,10 @@ class MicroBatcher:
         return s
 
 
+class _BadRequest(Exception):
+    """Client error detected before route handling -- answered with 400."""
+
+
 def _npz_bytes(**arrays) -> bytes:
     buf = io.BytesIO()
     np.savez(buf, **arrays)
@@ -252,7 +256,12 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode(), "application/json")
 
     def _body(self) -> bytes:
-        n = int(self.headers.get("Content-Length") or 0)
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            # answer 400 instead of letting the handler thread die with an
+            # unhandled exception (client would see a reset connection)
+            raise _BadRequest("malformed Content-Length header")
         return self.rfile.read(n)
 
     # -- routes -----------------------------------------------------------
@@ -265,12 +274,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):
-        if self.path == "/predict":
-            self._predict()
-        elif self.path == "/reload":
-            self._reload()
-        else:
-            self._send_json(404, {"error": f"no route {self.path}"})
+        try:
+            if self.path == "/predict":
+                self._predict()
+            elif self.path == "/reload":
+                self._reload()
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+        except _BadRequest as e:
+            self._send_json(400, {"error": str(e)})
 
     def _predict(self):
         body = self._body()

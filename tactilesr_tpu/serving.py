@@ -27,7 +27,7 @@ from .models.inference import (
     tactile_sr_infer,
 )
 from .models.tactile_sr import TactileSR, TactileSRCNN
-from .parallel.mesh import resolve_mesh
+from .parallel.mesh import put_global, resolve_mesh
 from .runtime.checkpoint import load_checkpoint_file
 
 __all__ = ["SRPredictor"]
@@ -73,7 +73,12 @@ class SRPredictor:
             raise ValueError(f"unknown model_arch {model_arch!r}")
         self.model_arch = model_arch
         if model_arch == "TactileSRCNN":
-            assert seqs_cnt == 1, "TactileSRCNN is single-frame"
+            if seqs_cnt != 1:
+                # ValueError (not assert): survives python -O and maps to a
+                # 4xx in server.py's handlers instead of an opaque 500
+                raise ValueError(
+                    f"TactileSRCNN is single-frame; got seqs_cnt={seqs_cnt}"
+                )
             self.model = TactileSRCNN(
                 scale_factor=scale_factor, dtype=jnp.dtype(compute_dtype)
             )
@@ -168,8 +173,10 @@ class SRPredictor:
                         "serving architecture (different parameter tree or "
                         "shapes); previous weights keep serving"
                     )
+            # put_global: the multihost-correct construction when the mesh
+            # spans processes (plain device_put otherwise)
             self.variables = (
-                jax.device_put(variables, self._rep)
+                put_global(variables, self._rep)
                 if self._rep is not None
                 else jax.device_put(variables)
             )
@@ -223,7 +230,7 @@ class SRPredictor:
                     "shapes); previous weights keep serving"
                 )
         folded = (
-            jax.device_put(folded, self._rep)
+            put_global(folded, self._rep)
             if self._rep is not None
             else jax.device_put(folded)
         )
@@ -249,7 +256,7 @@ class SRPredictor:
         """Shard the batch over the mesh's data axis (no-op single-device)."""
         if self._in_sharding is None:
             return x
-        return jax.device_put(x, self._in_sharding)
+        return put_global(x, self._in_sharding)
 
     def _current_weights(self):
         """Snapshot of the serving weights; predict() reads this ONCE so a

@@ -308,3 +308,70 @@ def test_history_buffer_empty_raises_clear_error():
         buf.latest
     with pytest.raises(ValueError, match="empty"):
         buf.avg
+
+
+# ------------------------------------------------- multi-process mesh layout
+class _FakeDev:
+    """Stand-in device with a process_index (a mesh layout concern only --
+    make_mesh is monkeypatched, so no jax Device API is needed)."""
+
+    def __init__(self, pid, i):
+        self.process_index = pid
+        self.id = i
+
+    def __repr__(self):
+        return f"d{self.process_index}.{self.id}"
+
+
+def test_resolve_mesh_multiprocess_spans_every_process(monkeypatch):
+    """Shrunken/explicit meshes must take devices evenly from EVERY process:
+    a mesh omitting some process leaves it with no addressable shards
+    (put_global raises there; survivors hang in the first collective)."""
+    import tactilesr_tpu.parallel.mesh as M
+
+    devs = [_FakeDev(p, p * 4 + i) for p in range(2) for i in range(4)]
+    captured = {}
+
+    def fake_make_mesh(ds):
+        captured["ds"] = list(ds)
+        return "MESH"
+
+    monkeypatch.setattr(M, "make_mesh", fake_make_mesh)
+
+    # auto with batch 4: shrink 8 -> 4, two devices from each process
+    assert M.resolve_mesh("auto", batch_size=4, devices=devs) == "MESH"
+    pids = [d.process_index for d in captured["ds"]]
+    assert len(pids) == 4 and pids.count(0) == 2 and pids.count(1) == 2
+
+    # explicit 4 over 2 processes: even split too
+    captured.clear()
+    M.resolve_mesh(4, batch_size=8, devices=devs)
+    pids = [d.process_index for d in captured["ds"]]
+    assert pids.count(0) == 2 and pids.count(1) == 2
+
+
+def test_resolve_mesh_multiprocess_fails_loud(monkeypatch):
+    import tactilesr_tpu.parallel.mesh as M
+
+    monkeypatch.setattr(M, "make_mesh", lambda ds: "MESH")
+    devs = [_FakeDev(p, p * 4 + i) for p in range(2) for i in range(4)]
+
+    # an odd explicit count cannot be laid out evenly over 2 processes
+    with pytest.raises(ValueError, match="processes"):
+        M.resolve_mesh(3, batch_size=6, devices=devs)
+    # auto with a batch no multiple of nproc divides: no silent fallback
+    with pytest.raises(ValueError, match="divisible batch"):
+        M.resolve_mesh("auto", batch_size=7, devices=devs)
+
+
+def test_resolve_mesh_single_process_shrink_unchanged(monkeypatch):
+    """Single-process semantics are untouched: largest divisor of the batch."""
+    import tactilesr_tpu.parallel.mesh as M
+
+    captured = {}
+    monkeypatch.setattr(
+        M, "make_mesh", lambda ds: captured.update(n=len(list(ds))) or "MESH"
+    )
+    devs = [_FakeDev(0, i) for i in range(8)]
+    assert M.resolve_mesh("auto", batch_size=30, devices=devs) == "MESH"
+    assert captured["n"] == 6

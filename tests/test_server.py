@@ -309,3 +309,24 @@ def test_server_over_device_mesh(tmp_path, rng):
     finally:
         srv.shutdown()
         srv.batcher.shutdown()
+
+
+def test_malformed_content_length_returns_400(server):
+    """A bad Content-Length must answer 400, not kill the handler thread
+    (which would reset the connection with no HTTP response)."""
+    import http.client
+    from urllib.parse import urlparse
+
+    _, base, _, _ = server
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+    try:
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/x-npz")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()

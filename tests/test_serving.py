@@ -388,3 +388,16 @@ def test_fold_error_messages(tmp_path):
     ckpt = _make_ckpt(tmp_path, pattern_layers=1)
     with pytest.raises(KeyError, match="pattern_layers=2"):
         SRPredictor(ckpt, scale_factor=4, pattern_layers=2, force_layers=1)
+
+
+def test_cnn_rejects_multi_frame(tmp_path):
+    """TactileSRCNN is single-frame; a multi-frame request must fail with a
+    ValueError (server.py maps it to a 4xx) before any checkpoint I/O."""
+    import pytest
+
+    with pytest.raises(ValueError, match="single-frame"):
+        SRPredictor(
+            str(tmp_path / "missing.ckpt"),
+            model_arch="TactileSRCNN",
+            seqs_cnt=4,
+        )
