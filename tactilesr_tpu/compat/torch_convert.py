@@ -159,16 +159,53 @@ def convert_tpsf_net(sd: dict) -> Dict[str, dict]:
 
 
 def load_torch_state_dict(path: str) -> dict:
-    """Load a reference ``.pth`` (either a bare state_dict or the trainer
-    bundle with a 'model' entry)."""
+    """Load a reference ``.pth`` (a bare state_dict, or the trainer bundle
+    with a 'model' entry holding either a state_dict or a whole pickled
+    ``nn.Module`` -- ``torch.save({'model': model, ...})`` is a common
+    trainer pattern)."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "model" in obj and all(
-        hasattr(v, "shape") or isinstance(v, dict) for v in obj["model"].values()
-    ):
-        return obj["model"]
+    if isinstance(obj, dict) and "model" in obj:
+        model = obj["model"]
+        if not isinstance(model, dict) and hasattr(model, "state_dict"):
+            return model.state_dict()
+        if isinstance(model, dict) and all(
+            hasattr(v, "shape") or isinstance(v, dict) for v in model.values()
+        ):
+            return model
     return obj
+
+
+class _TrackedStateDict(dict):
+    """State_dict wrapper recording which keys a converter consumed, so an
+    architecture mismatch (converter silently skipping trained modules)
+    fails loud instead of writing a truncated-but-valid-looking bundle."""
+
+    def __init__(self, sd: dict):
+        super().__init__(sd)
+        self.used: set = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return super().__getitem__(key)
+
+
+def _check_all_keys_consumed(tracked: "_TrackedStateDict", arch: str) -> None:
+    # BN's num_batches_tracked has no equivalent here (we keep torch's
+    # momentum-form running stats) -- expected leftover, not a mismatch
+    leftover = sorted(
+        k
+        for k in tracked
+        if k not in tracked.used and not k.endswith("num_batches_tracked")
+    )
+    if leftover:
+        raise ValueError(
+            f"{len(leftover)} checkpoint parameter(s) were not consumed by "
+            f"the declared architecture ({arch}): {leftover[:8]}"
+            f"{' ...' if len(leftover) > 8 else ''} -- do seqs_cnt/"
+            "pattern_layers/force_layers match the trained model?"
+        )
 
 
 _CONVERTERS = {
@@ -184,8 +221,9 @@ def convert_checkpoint_file(
     """One-shot migration: reference .pth -> our msgpack .ckpt bundle."""
     from ..runtime.checkpoint import save_checkpoint_file
 
-    sd = load_torch_state_dict(pth_path)
+    sd = _TrackedStateDict(load_torch_state_dict(pth_path))
     model = _CONVERTERS[arch](sd, **arch_kwargs)
+    _check_all_keys_consumed(sd, arch)
     bundle = {
         "num_devices": 1,
         "num_processes": 1,

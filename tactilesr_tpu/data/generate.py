@@ -74,6 +74,31 @@ def _load_tpsf(
     return model, params
 
 
+# jit cache keyed on the (hashable) module config: a per-call @jax.jit
+# closure would re-trace and re-compile the physics graph on EVERY call --
+# generate_single_srdataset alone calls this three times (train/val/test)
+_PHYSICS_FWD_CACHE: Dict = {}
+
+
+def _physics_fwd(model: TPSFNet, scale_num: float):
+    key = (model, scale_num)
+    fn = _PHYSICS_FWD_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(params, lr_b, depth_b):
+            hr, deg, _psf, ab = model.apply(
+                {"params": params},
+                lr_b.astype(jnp.float32) / scale_num,
+                depth_b[:, None],
+                return_psf=False,
+            )
+            return hr, deg, ab
+
+        _PHYSICS_FWD_CACHE[key] = fn
+    return fn
+
+
 def tpsf_apply_batched(
     model: TPSFNet,
     params,
@@ -86,17 +111,7 @@ def tpsf_apply_batched(
 
     Returns stacked arrays: LR (scaled), depth (1,100,100), HR, LR_degrade,
     alphaBeta."""
-
-    @jax.jit
-    def fwd(lr_b, depth_b):
-        hr, deg, _psf, ab = model.apply(
-            {"params": params},
-            lr_b.astype(jnp.float32) / scale_num,
-            depth_b[:, None],
-            return_psf=False,
-        )
-        return hr, deg, ab
-
+    fwd = _physics_fwd(model, float(scale_num))
     outs = {"HR": [], "LR_degrade": [], "alphaBeta": []}
     n = lr.shape[0]
     pad = (-n) % batch
@@ -107,7 +122,9 @@ def tpsf_apply_batched(
         else depth
     )
     for i in range(0, n + pad, batch):
-        hr, deg, ab = fwd(jnp.asarray(lr_p[i : i + batch]), jnp.asarray(d_p[i : i + batch]))
+        hr, deg, ab = fwd(
+            params, jnp.asarray(lr_p[i : i + batch]), jnp.asarray(d_p[i : i + batch])
+        )
         outs["HR"].append(np.asarray(hr))
         outs["LR_degrade"].append(np.asarray(deg))
         outs["alphaBeta"].append(np.asarray(ab[:, 0]))

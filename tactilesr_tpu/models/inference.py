@@ -114,7 +114,10 @@ def _fold_msrb(blk: dict, bst: dict, pre: str, out: dict) -> None:
 
 
 def _cast_folded(out: dict, dtype) -> dict:
-    """Kernels to the compute dtype; biases stay f32 (they ride epilogues)."""
+    """Kernels to the compute dtype; biases are STORED f32 (the BN-fold
+    arithmetic that produced them ran in f32, and keeping them f32 defers
+    quantization to the single cast at the add site -- _conv/_msrb_infer
+    cast to the activation dtype there, so under bf16 the adds ARE bf16)."""
     dt = jnp.dtype(dtype)
     return {
         k: jnp.asarray(v, dt if k.rsplit("/", 1)[-1].startswith("k") else jnp.float32)
@@ -145,7 +148,8 @@ def fold_inference_params(
     """Rewrite trained TactileSR variables into the fused serving layout.
 
     Returns a flat dict of arrays already cast to the compute ``dtype``
-    (biases and resize weights stay f32 -- they feed f32 epilogues).
+    (biases and resize weights are stored f32; they are cast to the
+    activation dtype at their use sites, see ``_cast_folded``).
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})

@@ -258,3 +258,17 @@ def test_generate_seqs_and_transfer(pipeline_dirs, tpsf_ckpt):
         )[0]
     )
     np.testing.assert_allclose(got, want)
+
+
+def test_physics_fwd_jit_is_cached_across_splits():
+    """The generation physics forward is compiled once per module config --
+    a per-call @jax.jit closure would re-trace for every split."""
+    from tactilesr_tpu.data.generate import _physics_fwd
+    from tactilesr_tpu.models.tpsf_net import TPSFNet
+
+    a = TPSFNet()
+    assert _physics_fwd(a, 100.0) is _physics_fwd(a, 100.0)
+    # equal-config modules (fresh instance per split load) share the entry
+    assert _physics_fwd(TPSFNet(), 100.0) is _physics_fwd(a, 100.0)
+    # a different config gets its own compiled entry
+    assert _physics_fwd(TPSFNet(gama=2.0), 100.0) is not _physics_fwd(a, 100.0)

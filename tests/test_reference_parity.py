@@ -389,3 +389,57 @@ def test_synthetic_blob_readable_by_reference_loader(tmp_path):
     for a, b in zip(ours, ref):
         np.testing.assert_allclose(a["LR"], b["LR"])
         np.testing.assert_allclose(a["depth"], b["depth"])
+
+
+def test_convert_checkpoint_file_rejects_unconsumed_keys(tmp_path):
+    """A converter invoked with an architecture smaller than the trained
+    model must fail loud, not write a silently-truncated bundle (the
+    serving-side _check_all_consumed can never fire on one)."""
+    from tactilesr_tpu.compat.torch_convert import convert_checkpoint_file
+
+    torch.manual_seed(0)
+    ref = RefTactileSR(
+        scale_factor=4,
+        seqsCnt=1,
+        axisCnt=3,
+        patternFeatureExtraLayerCnt=2,
+        forceFeatureExtraLayerCnt=1,
+    )
+    pth = tmp_path / "two_blocks.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+    with pytest.raises(ValueError, match="patternFeatureExtra_layer.1"):
+        convert_checkpoint_file(
+            str(pth),
+            str(tmp_path / "out.ckpt"),
+            arch="tactileSR",
+            seqs_cnt=1,
+            pattern_layers=1,  # one block fewer than trained
+            force_layers=1,
+        )
+    assert not (tmp_path / "out.ckpt").exists()
+    # the matching declaration converts cleanly
+    convert_checkpoint_file(
+        str(pth),
+        str(tmp_path / "ok.ckpt"),
+        arch="tactileSR",
+        seqs_cnt=1,
+        pattern_layers=2,
+        force_layers=1,
+    )
+    assert (tmp_path / "ok.ckpt").exists()
+
+
+def test_load_torch_state_dict_module_bundle(tmp_path):
+    """torch.save({'model': model, ...}) bundles (whole pickled nn.Module)
+    unwrap via .state_dict() instead of crashing on .values()."""
+    from tactilesr_tpu.compat.torch_convert import load_torch_state_dict
+
+    torch.manual_seed(0)
+    ref = RefTPSFNet(gama=1.4, perception_scale=None, device="cpu")
+    pth = tmp_path / "module_bundle.pth"
+    torch.save({"model": ref, "epoch": 3}, pth)
+    sd = load_torch_state_dict(str(pth))
+    want = ref.state_dict()
+    assert set(sd) == set(want)
+    for k in want:
+        assert torch.equal(sd[k], want[k])
