@@ -148,9 +148,22 @@ class SingleTapSeqsDataset(_StackedPairs):
     """One tap's press sequence (for the alpha/beta-vs-force inference plots)."""
 
     def __init__(self, dataset_file: str, is_sample_idx=6, sample_cnt: int = 10):
+        # a bare int would be silently ignored by load_raw_dataset's
+        # list-only selection (loading EVERY tap -- a meaningless
+        # non-monotonic force axis); coerce to the one-tap list the class
+        # documents.  Reference call sites already pass lists
+        # (train/tPSFNet_train.py:43-44).
+        if isinstance(is_sample_idx, (int, np.integer)):
+            is_sample_idx = [int(is_sample_idx)]
         samples = load_raw_dataset(
             dataset_file, sample_cnt=sample_cnt, is_sample_idx=is_sample_idx
         )
+        if not samples:
+            raise ValueError(
+                f"SingleTapSeqsDataset: tap index {is_sample_idx} selected "
+                f"no samples from {dataset_file!r} (out of range, or the "
+                "tap has no pre-peak contact frames)"
+            )
         self._a = np.ascontiguousarray(
             np.stack([s["LR"] for s in samples]).astype(np.float32)
         )

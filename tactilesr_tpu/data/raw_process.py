@@ -162,7 +162,8 @@ def load_raw_dataset(
     """
     raw = np.load(dataset_filepath, allow_pickle=True)
     samples: List[dict] = []
-    for rec in raw:
+    short_taps: List[tuple] = []
+    for tap_no, rec in enumerate(raw):
         rec = rec.item() if hasattr(rec, "item") and not isinstance(rec, dict) else rec
         depth = binarize_depth(np.asarray(rec["depth"]), depth_pixel)
         lr_seqs = extract_contact_seqs(
@@ -170,10 +171,25 @@ def load_raw_dataset(
             threshold_scale=idx_threshold_scale,
             sample_count=sample_cnt,
         )
+        if sample_cnt > 0 and lr_seqs.shape[0] != sample_cnt:
+            short_taps.append((tap_no, lr_seqs.shape[0]))
         for i in range(lr_seqs.shape[0]):
             samples.append({"LR": lr_seqs[i], "depth": depth})
 
     if isinstance(is_sample_idx, (list, tuple, np.ndarray)):
+        if short_taps:
+            # the positional slicing below assumes EVERY tap contributed
+            # exactly sample_cnt samples (the reference's contract,
+            # utility/raw_data_process.py:121-126); a short tap shifts every
+            # later tap's slice -- silent train/test leakage.  Fail loud.
+            raise ValueError(
+                f"{dataset_filepath}: tap-index selection requires every tap "
+                f"to contribute exactly sample_cnt={sample_cnt} samples, but "
+                f"{len(short_taps)} tap(s) fell short (tap, n): "
+                f"{short_taps[:5]}{' ...' if len(short_taps) > 5 else ''} -- "
+                "the tap has too few pre-peak contact frames; lower "
+                "sample_cnt or drop the tap from the blob"
+            )
         picked: List[dict] = []
         for idx in is_sample_idx:
             assert idx >= 0, "sample index should be >= 0"

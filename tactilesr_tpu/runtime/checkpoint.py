@@ -107,15 +107,15 @@ def merge_pytree_strict_false(
             continue
         merged_flat[k] = new_leaf
 
-    # rebuild nested dict
-    merged: Dict[str, Any] = {}
-    for k, v in merged_flat.items():
-        node = merged
-        parts = k.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return merged, missing, sorted(unexpected)
+    # rebuild by walking the CURRENT tree's structure (not the flattened
+    # keys, which cannot represent empty subtrees -- a tPSFNet state has
+    # batch_stats == {} and must keep that key through a resume)
+    def rebuild(cur, prefix=""):
+        if isinstance(cur, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in cur.items()}
+        return merged_flat[prefix.rstrip("/")]
+
+    return rebuild(current), missing, sorted(unexpected)
 
 
 class CheckpointManager:

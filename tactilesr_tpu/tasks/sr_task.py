@@ -127,7 +127,6 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
     seqs_axis = config["seqsCnt"] * config["axisCnt"]
     hr_scale = config["HR_scale_num"]
     max_value = float(config["sensorMaxVaule_factor"])
-    hw = 4 * config["scale_factor"]
 
     lr_all = test_arrays["LR"]
     hr_all = prepare_sr_labels(test_arrays["HR"], config)
@@ -158,11 +157,17 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
         else:
             logger.warning(
                 "test_batch_size %d not divisible by the %d-device data axis; "
-                "evaluation runs unsharded",
+                "evaluation runs unsharded (replicated over the mesh)",
                 bs,
                 ndata,
             )
-            lr_b, hr_b, mask_b = map(jnp.asarray, (lr_b, hr_b, mask_b))
+            # replicate THROUGH put_global: plain jnp.asarray would build
+            # process-local arrays that jit rejects next to the global
+            # (possibly non-addressable) params under a multi-process mesh
+            rep = NamedSharding(mesh, P())
+            lr_b = put_global(lr_b, rep)
+            hr_b = put_global(hr_b, rep)
+            mask_b = put_global(mask_b, rep)
     else:
         # device-commit once; as plain numpy these would re-upload the whole
         # padded test set on every eval call (they are jit ARGUMENTS now)

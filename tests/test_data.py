@@ -2,6 +2,7 @@
 synthetic fixtures, loaders."""
 
 import numpy as np
+import pytest
 
 from tactilesr_tpu.data import (
     SingleTapSeqsDataset,
@@ -221,3 +222,46 @@ def test_scale_depth_by_force():
     assert got is samples  # in-place, returns the same list
     for g, w in zip(got, want):
         np.testing.assert_allclose(g["depth"], w, rtol=1e-6)
+
+
+def test_single_tap_dataset_int_index_means_one_tap(tmp_path):
+    """A bare-int is_sample_idx must select ONE tap (the documented
+    semantics), not fall through load_raw_dataset's list-only check and
+    silently load every tap."""
+    path = write_raw_blob(str(tmp_path / "J.npy"), n_taps=8, seed=2, seqs=64)
+    as_int = SingleTapSeqsDataset(path, 3, 10)
+    as_list = SingleTapSeqsDataset(path, [3], 10)
+    assert len(as_int) == len(as_list) == 10
+    np.testing.assert_array_equal(as_int.stacked()[0], as_list.stacked()[0])
+    # out-of-range tap: clear error, not an opaque np.stack([]) crash
+    with pytest.raises(ValueError, match="no samples"):
+        SingleTapSeqsDataset(path, [99], 10)
+
+
+def test_load_raw_dataset_short_tap_fails_loud(tmp_path):
+    """Tap-index selection slices positionally assuming sample_cnt samples
+    per tap; a tap with too few pre-peak frames would silently shift every
+    later tap's slice (train/test leakage), so it must raise instead."""
+    
+
+    rng = np.random.default_rng(0)
+    taps = []
+    for t in range(3):
+        lrs = rng.random((32, 48)).astype(np.float32) * 100 + 50
+        if t == 1:  # peak at frame 0 -> ZERO pre-peak contact frames
+            lrs[0] += 10_000.0
+        else:  # strong late peak, plenty of pre-peak frames
+            lrs[:, 2::3] += np.linspace(0, 400, 32)[:, None]
+        taps.append(
+            np.array(
+                {"sample_idx": t, "depth": rng.random((200, 200)), "LRs": lrs}
+            )
+        )
+    path = str(tmp_path / "short.npy")
+    np.save(path, np.array(taps, dtype=object), allow_pickle=True)
+
+    with pytest.raises(ValueError, match="fell short"):
+        load_raw_dataset(path, sample_cnt=8, is_sample_idx=[0, 2])
+    # without index selection the variable counts are fine (flat list)
+    flat = load_raw_dataset(path, sample_cnt=8)
+    assert 0 < len(flat) < 3 * 8

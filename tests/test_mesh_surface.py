@@ -375,3 +375,54 @@ def test_resolve_mesh_single_process_shrink_unchanged(monkeypatch):
     devs = [_FakeDev(0, i) for i in range(8)]
     assert M.resolve_mesh("auto", batch_size=30, devices=devs) == "MESH"
     assert captured["n"] == 6
+
+
+def test_eval_indivisible_batch_falls_back_replicated(tmp_path, rng):
+    """test_batch_size not divisible by the data axis: eval falls back to a
+    REPLICATED (put_global) placement -- still correct, and built the
+    multi-process-safe way (plain jnp.asarray would create process-local
+    arrays jit rejects next to global params on a spanning mesh)."""
+    from tactilesr_tpu.runtime import LRWarmupSchedule, StepLR, adam_l2
+    from tactilesr_tpu.tasks.sr_task import SRTrainer, build_eval_fn, build_model
+    import jax.numpy as jnp
+
+    cfg = dict(tactileSR_config)
+    cfg.update(
+        train_batch_size=16,
+        test_batch_size=6,  # 6 % 8 devices != 0 -> fallback branch
+        patternFeatureExtraLayerCnt=1,
+        forceFeatureExtraLayerCnt=1,
+        scale_factor=4,
+        compute_dtype="float32",
+    )
+    lr = (rng.random((32, 3, 4, 4)) * 4).astype(np.float32)
+    hr = np.repeat(np.repeat(lr[:, 2:3], 25, 2), 25, 3).astype(np.float32)
+    test_arrays = {"LR": lr[:20], "HR": hr[:20]}
+
+    def mk(mesh, sub):
+        model = build_model(cfg)
+        variables = jax.device_get(
+            model.init(jax.random.key(7), jnp.zeros((1, 3, 4, 4)), train=False)
+        )
+        return SRTrainer(
+            config=cfg,
+            model=model,
+            variables={
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            },
+            tx=adam_l2(weight_decay=0.0),
+            lr_schedule=LRWarmupSchedule(
+                StepLR(1e-3, 2, 0.8), by_epoch=True, epoch_len=2
+            ),
+            train_arrays={"LR": lr, "HR": hr},
+            batch_size=16,
+            max_epochs=1,
+            work_dir=str(tmp_path / sub),
+            mesh=mesh,
+        )
+
+    e_single = build_eval_fn(mk(None, "single"), test_arrays)()
+    e_mesh = build_eval_fn(mk(make_mesh(), "mesh"), test_arrays)()
+    for k in e_single:
+        np.testing.assert_allclose(e_single[k], e_mesh[k], rtol=1e-5, atol=1e-6)

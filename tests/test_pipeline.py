@@ -29,12 +29,11 @@ def pipeline_dirs(tmp_path_factory):
     return {"root": str(root), "raw": raw_dir}
 
 
-@pytest.fixture(scope="module")
-def tpsf_ckpt(pipeline_dirs):
+def _tpsf_cfg(pipeline_dirs, save_sub="tpsf_work"):
     cfg = dict(tPSFNet_config)
     cfg.update(
         dataset_dir=pipeline_dirs["raw"],
-        save_dir=os.path.join(pipeline_dirs["root"], "tpsf_work"),
+        save_dir=os.path.join(pipeline_dirs["root"], save_sub),
         sample_cnt=SAMPLE_CNT,
         train_batch_size=8,
         test_batch_size=4,
@@ -42,16 +41,20 @@ def tpsf_ckpt(pipeline_dirs):
         inference_test=False,
         is_aug_data=False,
     )
-    # 2 blobs x 18 taps x SAMPLE_CNT samples = 144; train on taps 2.., test 0..1
-    import tactilesr_tpu.tasks.tpsf_task as tt
+    return cfg
 
+
+@pytest.fixture(scope="module")
+def tpsf_ckpt(pipeline_dirs):
+    cfg = _tpsf_cfg(pipeline_dirs)
+    # 2 blobs x 18 taps x SAMPLE_CNT samples = 144; train on taps 2.., test 0..1
     trainer = _run_tpsf(cfg)
     path = os.path.join(cfg["save_dir"], "checkpoints", "latest.ckpt")
     assert os.path.exists(path)
     return os.path.realpath(path)
 
 
-def _run_tpsf(cfg):
+def _run_tpsf(cfg, max_epochs=1, auto_resume=False):
     from tactilesr_tpu.data.datasets import TPSFNetDataset
     from tactilesr_tpu.runtime import EvalHook
 
@@ -96,14 +99,14 @@ def _run_tpsf(cfg):
         ),
         train_arrays={"LR": lr_train, "depth": d_train},
         batch_size=cfg["train_batch_size"],
-        max_epochs=1,
+        max_epochs=max_epochs,
         work_dir=cfg["save_dir"],
         checkpoint_period=1,
     )
     trainer.register_hooks(
         [EvalHook(1, tpsf_task.build_eval_fn(trainer, {"LR": lr_test, "depth": d_test}))]
     )
-    trainer.train(auto_resume=False)
+    trainer.train(auto_resume=auto_resume)
     assert np.isfinite(trainer.metric_storage["total_loss"].latest)
     assert "Eval Metric" in trainer.metric_storage
     return trainer
@@ -272,3 +275,16 @@ def test_physics_fwd_jit_is_cached_across_splits():
     assert _physics_fwd(TPSFNet(), 100.0) is _physics_fwd(a, 100.0)
     # a different config gets its own compiled entry
     assert _physics_fwd(TPSFNet(gama=2.0), 100.0) is not _physics_fwd(a, 100.0)
+
+
+def test_tpsf_resume_continues(pipeline_dirs, tpsf_ckpt):
+    """Resuming a tPSFNet run must work: its state carries batch_stats == {}
+    and the strict=False merge must preserve that (empty) subtree instead of
+    dropping the key (regression: KeyError 'batch_stats' on any tPSF resume)."""
+    cfg = _tpsf_cfg(pipeline_dirs)  # same work dir as the 1-epoch fixture run
+    trainer = _run_tpsf(cfg, max_epochs=2, auto_resume=True)
+    # resumed at epoch 1 (not retrained from 0) and reached epoch 2
+    assert trainer.start_iter == trainer.epoch_len
+    assert os.path.exists(
+        os.path.join(cfg["save_dir"], "checkpoints", "epoch_1.ckpt")
+    )

@@ -126,6 +126,14 @@ def test_checkpoint_strict_false_merge():
     )
     assert merged2["a"].shape == (3,)
     assert "a" in unexpected2
+    # empty subtrees survive the round trip (tPSFNet state carries
+    # batch_stats == {}; dropping the key crashed every tPSF resume)
+    cur3 = {"params": {"a": np.zeros(2)}, "batch_stats": {}}
+    merged3, missing3, unexpected3 = merge_pytree_strict_false(
+        cur3, {"params": {"a": np.ones(2)}, "batch_stats": {}}
+    )
+    assert merged3["batch_stats"] == {} and missing3 == [] and unexpected3 == []
+    np.testing.assert_array_equal(merged3["params"]["a"], 1.0)
 
 
 def test_nan_loss_raises(tmp_path, rng):
