@@ -36,6 +36,11 @@ def main() -> int:
         default=1,
         help="frames per sample (7 profiles the MTSR step instead of STSR)",
     )
+    p.add_argument(
+        "--remat",
+        action="store_true",
+        help="rematerialized backward (jax.checkpoint on the loss)",
+    )
     args = p.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="sr_train_trace_")
 
@@ -85,6 +90,7 @@ def main() -> int:
         max_epochs=2,
         work_dir=cfg["save_dir"],
         scan_epochs=True,
+        remat=args.remat,
     )
     tr._epoch_scan = tr._build_epoch_scan()
     tr.train_one_epoch_scan()  # compile + warm epoch

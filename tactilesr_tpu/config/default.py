@@ -37,6 +37,12 @@ common_config = {
     # TPU-targeted: compiles in ~40s there; the CPU backend can take minutes
     # to compile the scanned conv graph at batch>=32.
     "scan_epochs": False,
+    # rematerialize the forward pass in the backward (jax.checkpoint on the
+    # loss): activations are recomputed instead of stored, cutting peak HBM
+    # ~in half for ~1/3 more forward FLOPs.  Off for the recipes (B<=256
+    # fits comfortably); enables train batches whose f32 BN buffers
+    # otherwise OOM on one chip (B=2048 -- measured in docs/PERF.md).
+    "remat": False,
     # data parallelism over the local device mesh: "auto" uses every device
     # the batch size divides over (single device -> no mesh), "off" disables,
     # an integer requests exactly N devices.  See parallel/mesh.py.

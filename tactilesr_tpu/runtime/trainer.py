@@ -104,6 +104,7 @@ class Trainer:
         mesh=None,
         seed: int = 42,
         scan_epochs: bool = False,
+        remat: bool = False,
     ):
         assert (max_epochs > 0) ^ (max_iters > 0), (
             "specify either max_epochs or max_iters"
@@ -160,6 +161,7 @@ class Trainer:
         self._train_step = None
         self._epoch_scan = None
         self.scan_epochs = scan_epochs
+        self.remat = remat
         self._max_num_checkpoints = max_num_checkpoints
         self._checkpoint_period = checkpoint_period
         self._log_period = log_period
@@ -260,6 +262,12 @@ class Trainer:
                 )
                 return loss, (loss_dict, new_bs)
 
+            if self.remat:
+                # rematerialize the forward in the backward pass: activations
+                # are not stored across fwd->bwd, trading ~1/3 more forward
+                # FLOPs for peak-HBM headroom (enables batches whose f32 BN
+                # buffers otherwise OOM -- docs/PERF.md "Training step")
+                loss_wrap = jax.checkpoint(loss_wrap)
             (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
             )(state.params, state.batch_stats)
@@ -295,6 +303,8 @@ class Trainer:
                 )
                 return loss, (loss_dict, new_bs)
 
+            if self.remat:
+                loss_wrap = jax.checkpoint(loss_wrap)
             (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
             )(state.params, state.batch_stats)

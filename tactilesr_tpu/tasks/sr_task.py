@@ -394,6 +394,7 @@ def main(
         mesh=mesh,
         seed=config["random_seed"],
         scan_epochs=bool(config.get("scan_epochs", False)),
+        remat=bool(config.get("remat", False)),
     )
 
     test_arrays = {"LR": lr_test, "HR": hr_test}

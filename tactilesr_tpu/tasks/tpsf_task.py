@@ -257,6 +257,7 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
         mesh=mesh,
         seed=config["random_seed"],
         scan_epochs=bool(config.get("scan_epochs", False)),
+        remat=bool(config.get("remat", False)),
     )
 
     trainer.register_hooks(

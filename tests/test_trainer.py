@@ -45,7 +45,7 @@ def _toy_data(rng, n=24):
     return lr, hr
 
 
-def _make_trainer(cfg, lr, hr, max_epochs=3, seed=42):
+def _make_trainer(cfg, lr, hr, max_epochs=3, seed=42, **trainer_kwargs):
     model = build_model(cfg)
     variables = jax.device_get(
         model.init(
@@ -74,6 +74,7 @@ def _make_trainer(cfg, lr, hr, max_epochs=3, seed=42):
         work_dir=cfg["save_dir"],
         checkpoint_period=1,
         seed=seed,
+        **trainer_kwargs,
     )
 
 
@@ -219,6 +220,46 @@ def test_scan_epochs_matches_per_iter_trajectory(tmp_path, rng):
     np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
     # checkpoints written per epoch in scan mode too
     assert os.path.exists(os.path.join(cfg_b["save_dir"], "checkpoints", "epoch_1.ckpt"))
+
+
+def test_remat_matches_plain_trajectory(tmp_path, rng):
+    """remat=True (jax.checkpoint on the loss) recomputes the forward in the
+    backward pass -- a pure memory/FLOPs trade that must not change the
+    math.  Train twice from the same seed and compare trajectories and
+    final params."""
+    lr, hr = _toy_data(rng)
+
+    ta = _make_trainer(_toy_config(str(tmp_path / "a")), lr, hr, max_epochs=2)
+    ta.train(auto_resume=False)
+
+    tb = _make_trainer(
+        _toy_config(str(tmp_path / "b")), lr, hr, max_epochs=2, remat=True
+    )
+    tb.train(auto_resume=False)
+
+    la = ta.metric_storage["total_loss"]
+    lb = tb.metric_storage["total_loss"]
+    assert len(la) == len(lb)
+    np.testing.assert_allclose(la.latest, lb.latest, rtol=1e-5)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(jax.device_get(ta.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tb.state.params)),
+    ):
+        np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-6)
+
+    # scan mode composes with remat (lax.scan over checkpointed steps)
+    tc = _make_trainer(
+        _toy_config(str(tmp_path / "c")),
+        lr,
+        hr,
+        max_epochs=2,
+        remat=True,
+        scan_epochs=True,
+    )
+    tc.train(auto_resume=False)
+    np.testing.assert_allclose(
+        tc.metric_storage["total_loss"].latest, la.latest, rtol=1e-4
+    )
 
 
 def test_scan_epochs_resume(tmp_path, rng):
