@@ -1,18 +1,14 @@
 """Behavioral tests for shipped branches the main suites leave untraced:
 trainer resume/NaN/warning paths, plateau-through-hook LR updates,
-iteration-mode Eval/Logger hooks, micro-batcher failure delivery, server
-error routes, legacy torch-tensor dataset records, and schedule guards.
+iteration-mode Eval/Logger hooks, micro-batcher failure delivery, legacy
+torch-tensor dataset records, and schedule guards.  (Server error routes
+live in test_server.py on its shared fixture.)
 
 Targets picked from scripts/coverage_lines.py output (in-process missed
 lines that are NOT covered by the subprocess/CLI tests)."""
 
-import io
-import json
 import logging
 import os
-import threading
-import urllib.error
-import urllib.request
 
 import numpy as np
 import pytest
@@ -20,7 +16,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tactilesr_tpu.config.default import tactileSR_config
 from tactilesr_tpu.runtime import (
     ConstantLR,
     LRWarmupSchedule,
@@ -33,6 +28,12 @@ from tactilesr_tpu.runtime.checkpoint import (
     save_checkpoint_file,
 )
 from tactilesr_tpu.tasks.sr_task import SRTrainer, build_model
+
+from conftest import (  # shared toy-trainer scaffolding (one copy, no drift)
+    make_toy_trainer as _make_trainer,
+    toy_sr_config as _toy_config,
+    toy_sr_data,
+)
 
 
 # ---------------------------------------------------------------- helpers
@@ -56,71 +57,8 @@ class _Capture(logging.Handler):
         logging.getLogger("tactilesr_tpu").removeHandler(self)
 
 
-def _toy_config(tmp_dir, **overrides):
-    cfg = dict(tactileSR_config)
-    cfg.update(
-        save_dir=os.path.join(tmp_dir, "work"),
-        train_batch_size=8,
-        test_batch_size=4,
-        patternFeatureExtraLayerCnt=1,
-        forceFeatureExtraLayerCnt=1,
-        scale_factor=4,
-        warmup_t=0,
-        compute_dtype="float32",
-        inference_test=False,
-    )
-    cfg.update(overrides)
-    return cfg
-
-
-def _toy_data(rng, n=16):
-    lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
-    hr = np.repeat(np.repeat(lr[:, 2:3], 25, axis=2), 25, axis=3).astype(
-        np.float32
-    )
-    return lr, hr
-
-
-def _make_trainer(
-    cfg, lr, hr, max_epochs=2, seed=42, trainer_cls=SRTrainer, schedule=None,
-    **trainer_kwargs,
-):
-    model = build_model(cfg)
-    variables = jax.device_get(
-        model.init(
-            jax.random.key(seed),
-            jnp.zeros((1, cfg["seqsCnt"] * cfg["axisCnt"], 4, 4)),
-            train=False,
-        )
-    )
-    epoch_len = -(-lr.shape[0] // cfg["train_batch_size"])
-    if schedule is None:
-        schedule = LRWarmupSchedule(
-            StepLR(
-                cfg["lr"],
-                cfg["lr_scheduler_step_size"],
-                cfg["lr_scheduler_gamma"],
-            ),
-            by_epoch=True,
-            epoch_len=epoch_len,
-        )
-    return trainer_cls(
-        config=cfg,
-        model=model,
-        variables={
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-        },
-        tx=adam_l2(weight_decay=cfg["weight_decay"]),
-        lr_schedule=schedule,
-        train_arrays={"LR": lr, "HR": hr},
-        batch_size=cfg["train_batch_size"],
-        max_epochs=max_epochs,
-        work_dir=cfg["save_dir"],
-        checkpoint_period=1,
-        seed=seed,
-        **trainer_kwargs,
-    )
+def _toy_data(rng, n=16):  # smaller than test_trainer's 24: 2 steps/epoch
+    return toy_sr_data(rng, n=n)
 
 
 # ------------------------------------------------------- trainer branches
@@ -131,7 +69,7 @@ def test_nan_loss_raises_in_scan_mode(tmp_path, rng):
     cfg = _toy_config(str(tmp_path))
     lr, hr = _toy_data(rng)
     hr[3, 0, 5, 5] = np.nan
-    trainer = _make_trainer(cfg, lr, hr, scan_epochs=True)
+    trainer = _make_trainer(cfg, lr, hr, max_epochs=2, scan_epochs=True)
     trainer.register_hooks([])
     with pytest.raises(FloatingPointError, match="infinite or NaN"):
         trainer.train(auto_resume=False)
@@ -421,90 +359,12 @@ def test_microbatcher_delivers_errors_and_survives():
         mb.shutdown()
 
 
-@pytest.fixture(scope="module")
-def gap_server(tmp_path_factory):
-    from conftest import make_sr_checkpoint
-    from tactilesr_tpu.server import create_server
-
-    tmp = tmp_path_factory.mktemp("gap_server")
-    ckpt = make_sr_checkpoint(tmp / "model.ckpt")
-    srv = create_server(
-        ckpt,
-        linger_ms=1.0,
-        scale_factor=4,
-        pattern_layers=1,
-        force_layers=1,
-        compute_dtype="float32",
-        buckets=(4, 16),
-    )
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    host, port = srv.server_address
-    yield f"http://{host}:{port}"
-    srv.shutdown()
-    srv.batcher.shutdown()
-
-
-def test_server_json_predict_roundtrip(gap_server, rng):
-    """application/json in -> {'sr': [...]} out (server.py:291-318)."""
-    lr = (rng.random((2, 3, 4, 4)) * 4).astype(np.float32)
-    body = json.dumps({"lr": lr.tolist()}).encode()
-    req = urllib.request.Request(
-        gap_server + "/predict",
-        data=body,
-        headers={"Content-Type": "application/json"},
-        method="POST",
-    )
-    with urllib.request.urlopen(req) as r:
-        assert r.status == 200
-        out = json.loads(r.read())
-    sr = np.asarray(out["sr"], np.float32)
-    assert sr.shape == (2, 1, 16, 16)
-    assert np.isfinite(sr).all()
-
-
-def test_server_bad_shape_is_400(gap_server):
-    """Shape validation errors from submit() map to 400, not 500
-    (server.py:305-308)."""
-    buf = io.BytesIO()
-    np.savez(buf, LR=np.zeros((2, 5, 4, 4), np.float32))  # wrong channels
-    req = urllib.request.Request(
-        gap_server + "/predict",
-        data=buf.getvalue(),
-        headers={"Content-Type": "application/x-npz"},
-        method="POST",
-    )
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        urllib.request.urlopen(req)
-    assert ei.value.code == 400
-    assert "expected" in json.loads(ei.value.read())["error"]
-
-
-def test_server_malformed_content_length_is_400(gap_server):
-    """A garbage Content-Length answers 400 instead of resetting the
-    connection (server.py:256-262, 283-284)."""
-    import http.client
-    from urllib.parse import urlparse
-
-    u = urlparse(gap_server)
-    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
-    try:
-        conn.putrequest("POST", "/predict")
-        conn.putheader("Content-Length", "not-a-number")
-        conn.endheaders()
-        resp = conn.getresponse()
-        assert resp.status == 400
-        assert "Content-Length" in json.loads(resp.read())["error"]
-    finally:
-        conn.close()
-
-
 # ------------------------------------------------------------ data formats
 def test_legacy_npy_with_torch_tensors(tmp_path):
     """Legacy object-.npy written with torch tensors inside the record
     dicts loads transparently (datasets.py::_to_numpy, the 'saved on
     another machine' case)."""
-    import torch
+    torch = pytest.importorskip("torch")  # suite stays green torch-free
 
     from tactilesr_tpu.data.datasets import TactileSRDataset
 

@@ -10,72 +10,18 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tactilesr_tpu.config.default import tactileSR_config
 from tactilesr_tpu.runtime import (
-    LRWarmupSchedule,
-    StepLR,
     adam_l2,
     merge_pytree_strict_false,
     scale_updates_by_lr,
 )
 from tactilesr_tpu.tasks.sr_task import SRTrainer, build_eval_fn, build_model
 
-
-def _toy_config(tmp_dir, **overrides):
-    cfg = dict(tactileSR_config)
-    cfg.update(
-        save_dir=os.path.join(tmp_dir, "work"),
-        train_batch_size=8,
-        test_batch_size=4,
-        patternFeatureExtraLayerCnt=1,
-        forceFeatureExtraLayerCnt=1,
-        scale_factor=4,  # 16x16 output: fast on CPU
-        warmup_t=0,
-        compute_dtype="float32",
-        inference_test=False,
-    )
-    cfg.update(overrides)
-    return cfg
-
-
-def _toy_data(rng, n=24):
-    lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
-    # learnable mapping: HR is a smooth function of LR's z channel
-    hr = np.repeat(np.repeat(lr[:, 2:3], 25, axis=2), 25, axis=3).astype(np.float32)
-    return lr, hr
-
-
-def _make_trainer(cfg, lr, hr, max_epochs=3, seed=42, **trainer_kwargs):
-    model = build_model(cfg)
-    variables = jax.device_get(
-        model.init(
-            jax.random.key(seed),
-            jnp.zeros((1, cfg["seqsCnt"] * cfg["axisCnt"], 4, 4)),
-            train=False,
-        )
-    )
-    schedule = LRWarmupSchedule(
-        StepLR(cfg["lr"], cfg["lr_scheduler_step_size"], cfg["lr_scheduler_gamma"]),
-        by_epoch=True,
-        epoch_len=-(-lr.shape[0] // cfg["train_batch_size"]),
-    )
-    return SRTrainer(
-        config=cfg,
-        model=model,
-        variables={
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-        },
-        tx=adam_l2(weight_decay=cfg["weight_decay"]),
-        lr_schedule=schedule,
-        train_arrays={"LR": lr, "HR": hr},
-        batch_size=cfg["train_batch_size"],
-        max_epochs=max_epochs,
-        work_dir=cfg["save_dir"],
-        checkpoint_period=1,
-        seed=seed,
-        **trainer_kwargs,
-    )
+from conftest import (  # shared toy-trainer scaffolding (one copy, no drift)
+    make_toy_trainer as _make_trainer,
+    toy_sr_config as _toy_config,
+    toy_sr_data as _toy_data,
+)
 
 
 def test_training_reduces_loss(tmp_path, rng):
