@@ -321,7 +321,12 @@ def main():
 
 
 def _argval(flag, default, cast=str):
-    return cast(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+    if flag not in sys.argv:
+        return default
+    i = sys.argv.index(flag) + 1
+    if i >= len(sys.argv):
+        raise SystemExit(f"usage: {flag} requires a value")
+    return cast(sys.argv[i])
 
 
 if __name__ == "__main__":

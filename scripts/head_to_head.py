@@ -32,6 +32,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVAL_RE = r"==> \[test\] loss: ([-\d.naninf]+), SSIM: ([-\d.naninf]+), PSNR: ([-\d.naninf]+)"
 
 
+def traj_from_records(records) -> list:
+    """Per-epoch {loss, ssim, psnr} from captured eval log lines -- the ONE
+    EVAL_RE parse both sides use (a drifted copy would skew one stage)."""
+    import re
+
+    return [
+        {
+            "loss": float(m.group(1)),
+            "ssim": float(m.group(2)),
+            "psnr": float(m.group(3)),
+        }
+        for line in records
+        for m in [re.search(EVAL_RE, line)]
+        if m
+    ]
+
+
 def _common_overrides(args) -> dict:
     """The hyperparameters BOTH frameworks train with (identical recipes)."""
     return dict(
@@ -306,19 +323,8 @@ def _ours_sr_traj(trainer, records: list = None) -> list:
     """Per-epoch eval trajectory: parsed from the captured log (full
     length) when available, else from the trainer's metric storage (last
     20 epochs only — see _capture_our_log)."""
-    import re
-
     if records is not None:
-        traj = [
-            {
-                "loss": float(m.group(1)),
-                "ssim": float(m.group(2)),
-                "psnr": float(m.group(3)),
-            }
-            for line in records
-            for m in [re.search(EVAL_RE, line)]
-            if m
-        ]
+        traj = traj_from_records(records)
         if traj:
             return traj
     storage = trainer.metric_storage
@@ -455,14 +461,7 @@ def run_reference_worker(args) -> None:
     )
     ref_train.main(cfg)
 
-    import re
-
-    traj = [
-        {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
-        for line in records
-        for m in [re.search(EVAL_RE, line)]
-        if m
-    ]
+    traj = traj_from_records(records)
 
     # shared-evaluator evidence: dump the trained reference model's test-set
     # predictions (and its torch-made labels) so the parent can score BOTH
@@ -967,14 +966,7 @@ def run_reference_worker_mtsr(args) -> None:
     )
     ref_seqs.main(cfg)
 
-    import re
-
-    traj = [
-        {"loss": float(m.group(1)), "ssim": float(m.group(2)), "psnr": float(m.group(3))}
-        for line in records
-        for m in [re.search(EVAL_RE, line)]
-        if m
-    ]
+    traj = traj_from_records(records)
 
     model = _load_ref_sr_model(ref_seqs, cfg)
     _dump_ref_sr_preds(

@@ -174,6 +174,10 @@ def load_torch_state_dict(path: str) -> dict:
             hasattr(v, "shape") or isinstance(v, dict) for v in model.values()
         ):
             return model
+    if not isinstance(obj, dict) and hasattr(obj, "state_dict"):
+        # bare torch.save(model, path) -- the unwrapped twin of the
+        # {'model': model} bundle handled above
+        return obj.state_dict()
     return obj
 
 

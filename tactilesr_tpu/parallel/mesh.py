@@ -172,14 +172,15 @@ def resolve_mesh(
     if spec == "auto":
         ndata = per_proc_cap * nproc
         if batch_size is not None:
+            usable = ndata  # may already be < n (uneven per-process counts)
             while ndata > 0 and batch_size % ndata:
                 ndata -= nproc
-            if 0 < ndata < n:
+            if 0 < ndata < usable:  # only when divisibility shrank the axis
                 logger.warning(
                     "data_parallel=auto: batch size %d not divisible by %d "
                     "devices; using a %d-device data axis",
                     batch_size,
-                    n,
+                    usable,
                     ndata,
                 )
         if ndata <= 1:

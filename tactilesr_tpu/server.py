@@ -262,6 +262,10 @@ class _Handler(BaseHTTPRequestHandler):
             # answer 400 instead of letting the handler thread die with an
             # unhandled exception (client would see a reset connection)
             raise _BadRequest("malformed Content-Length header")
+        if n < 0:
+            # rfile.read(-1) would block until client EOF, hanging this
+            # handler thread with no response
+            raise _BadRequest("malformed Content-Length header")
         return self.rfile.read(n)
 
     # -- routes -----------------------------------------------------------

@@ -280,9 +280,12 @@ class SRPredictor:
     def predict(self, lr: np.ndarray) -> np.ndarray:
         """(N, C, 4, 4) raw-scaled readings -> (N, 1, 4s, 4s) SR maps."""
         lr = np.asarray(lr, np.float32)
-        assert lr.ndim == 4 and lr.shape[1] == self.in_channels, (
-            f"expected (N, {self.in_channels}, 4, 4), got {lr.shape}"
-        )
+        if lr.ndim != 4 or lr.shape[1] != self.in_channels:
+            # ValueError (not assert) so request validation survives -O;
+            # the server maps it to a 400
+            raise ValueError(
+                f"expected (N, {self.in_channels}, 4, 4), got {lr.shape}"
+            )
         n = lr.shape[0]
         outs = []
         i = 0

@@ -58,7 +58,10 @@ def build_model(config):
     if arch == "TactileSRCNN":
         from ..models.tactile_sr import TactileSRCNN
 
-        assert config["seqsCnt"] == 1, "TactileSRCNN is single-frame"
+        if config["seqsCnt"] != 1:  # ValueError (not assert): survives -O
+            raise ValueError(
+                f"TactileSRCNN is single-frame; got seqsCnt={config['seqsCnt']}"
+            )
         return TactileSRCNN(
             scale_factor=config["scale_factor"],
             dtype=_dtype_of(config),
@@ -163,7 +166,10 @@ def build_eval_fn(trainer: SRTrainer, test_arrays: Dict[str, np.ndarray]):
             )
             # replicate THROUGH put_global: plain jnp.asarray would build
             # process-local arrays that jit rejects next to the global
-            # (possibly non-addressable) params under a multi-process mesh
+            # (possibly non-addressable) params under a multi-process mesh.
+            # The full-mesh replica copies are deliberate even single-process
+            # (the padded test set is a few MB; a single-device-committed
+            # array next to mesh-placed params trips jit's device check)
             rep = NamedSharding(mesh, P())
             lr_b = put_global(lr_b, rep)
             hr_b = put_global(hr_b, rep)

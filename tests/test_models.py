@@ -54,6 +54,18 @@ def test_tactile_srcnn_shapes(rng):
     assert out.shape == (2, 1, 40, 40)
 
 
+def test_build_model_rejects_multiframe_srcnn():
+    """ValueError (not a -O-strippable assert): TactileSRCNN is the
+    single-frame IROS-2022 baseline (tasks/sr_task.py::build_model)."""
+    from tactilesr_tpu.config.default import tactileSeqs_config
+    from tactilesr_tpu.tasks.sr_task import build_model
+
+    cfg = dict(tactileSeqs_config)  # seqsCnt=7
+    cfg["model_arch"] = "TactileSRCNN"
+    with pytest.raises(ValueError, match="single-frame"):
+        build_model(cfg)
+
+
 def test_blocks_preserve_shape(rng):
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
     for block in (MSRB(), ResBlock()):

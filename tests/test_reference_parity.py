@@ -443,3 +443,11 @@ def test_load_torch_state_dict_module_bundle(tmp_path):
     assert set(sd) == set(want)
     for k in want:
         assert torch.equal(sd[k], want[k])
+
+    # the bare twin -- torch.save(model, path) with no bundle dict
+    bare = tmp_path / "bare_module.pth"
+    torch.save(ref, bare)
+    sd2 = load_torch_state_dict(str(bare))
+    assert set(sd2) == set(want)
+    for k in want:
+        assert torch.equal(sd2[k], want[k])

@@ -311,9 +311,12 @@ def test_server_over_device_mesh(tmp_path, rng):
         srv.batcher.shutdown()
 
 
-def test_malformed_content_length_returns_400(server):
+@pytest.mark.parametrize("bad_len", ["abc", "-1"])
+def test_malformed_content_length_returns_400(server, bad_len):
     """A bad Content-Length must answer 400, not kill the handler thread
-    (which would reset the connection with no HTTP response)."""
+    (which would reset the connection with no HTTP response).  A NEGATIVE
+    length must not reach rfile.read(-1), which blocks until client EOF
+    and would hang the handler thread."""
     import http.client
     from urllib.parse import urlparse
 
@@ -323,7 +326,7 @@ def test_malformed_content_length_returns_400(server):
     try:
         conn.putrequest("POST", "/predict", skip_accept_encoding=True)
         conn.putheader("Content-Type", "application/x-npz")
-        conn.putheader("Content-Length", "abc")
+        conn.putheader("Content-Length", bad_len)
         conn.endheaders()
         resp = conn.getresponse()
         assert resp.status == 400

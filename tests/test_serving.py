@@ -2,6 +2,7 @@
 
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,9 @@ def test_predict_shapes_and_bucketing(tmp_path, rng):
     # padding must not leak into results: single-frame == batched row 0
     out1 = pred.predict(lr[:1])
     np.testing.assert_allclose(out1[0], out[0], rtol=1e-5, atol=1e-5)
+    # shape validation raises ValueError (not assert: survives python -O)
+    with pytest.raises(ValueError, match="expected"):
+        pred.predict(np.zeros((2, 5, 4, 4), np.float32))
 
 
 def test_predict_more_than_max_bucket(tmp_path, rng):
