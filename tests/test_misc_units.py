@@ -58,7 +58,7 @@ def test_predictor_rejects_wrong_channels(tmp_path, rng):
         ckpt, scale_factor=4, pattern_layers=1, force_layers=1,
         compute_dtype="float32", buckets=(4,),
     )
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="expected"):
         pred.predict(rng.random((2, 6, 4, 4)).astype(np.float32))
 
 
