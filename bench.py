@@ -261,13 +261,20 @@ def main():
         float(jnp.asarray(out[0, 0, 0, 0]))  # true sync (compile + warm)
         log(f"batch {batch}: compile+warm {time.time()-t0:.1f}s")
         iters = 12
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = forward(x)
-        float(jnp.asarray(out[0, 0, 0, 0]))  # drain the pipeline
-        dt = time.perf_counter() - t0
-        fps = batch * iters / dt
-        log(f"batch {batch}: {fps:,.0f} frames/s ({dt/iters*1e3:.2f} ms/iter)")
+        # best of 3 rounds: the axon tunnel is shared, and a neighbor's
+        # burst during one round would understate the machine's capability
+        fps = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = forward(x)
+            float(jnp.asarray(out[0, 0, 0, 0]))  # drain the pipeline
+            dt = time.perf_counter() - t0
+            fps = max(fps, batch * iters / dt)
+            log(
+                f"batch {batch}: {batch*iters/dt:,.0f} frames/s"
+                f" ({dt/iters*1e3:.2f} ms/iter)"
+            )
         if fps > best_fps:
             best_fps, best_batch = fps, batch
 
