@@ -86,6 +86,47 @@ def wait_for_quiet(jnp, jax, patience_s: float = 300.0) -> None:
     log("warning: device queue never went quiet; measuring anyway")
 
 
+def device_latency_ms(forward, x, jax, jnp, iters: int = 20):
+    """Trace-derived DEVICE time per dispatch (ms): captures a jax.profiler
+    trace of ``iters`` forwards and sums the TPU-pid jit_ module events --
+    the on-chip cost, free of the tunnel RTT that dominates end-to-end
+    medians on axon (same parsing as scripts/profile_serving.py)."""
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="bench_lat_")
+    out = forward(x)
+    float(jnp.asarray(out[0, 0, 0, 0]))  # warm + sync
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            out = forward(x)
+        float(jnp.asarray(out[0, 0, 0, 0]))
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    )
+    if not paths:
+        return None
+    with gzip.open(paths[-1], "rt") as f:
+        tr = _json.load(f)
+    events = tr["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    dur = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            dur[e["name"]] += e.get("dur", 0)
+    total_us = sum(d for n, d in dur.items() if n.startswith("jit_"))
+    if total_us == 0:
+        return None
+    return round(total_us / iters / 1e3, 3)
+
+
 def bench_train():
     """Secondary benchmark: training throughput (samples/sec) of the full
     STSR train step (fwd+bwd+Adam+BN update), vs the reference's measured
@@ -221,7 +262,7 @@ def bench_tpsf(batch: int = 1024, precision: str = "highest", tile: int = 8):
     )
 
 
-def main():
+def main(seqs: int = 1):
     dev = require_device()
     import jax
     import jax.numpy as jnp
@@ -235,9 +276,10 @@ def main():
     log(f"device: {dev}")
     wait_for_quiet(jnp, jax)
 
+    chans = 3 * seqs
     model = TactileSR(
         scale_factor=10,
-        seqs_cnt=1,
+        seqs_cnt=seqs,
         axis_cnt=3,
         pattern_feature_extra_layer_cnt=6,
         force_feature_extra_layer_cnt=1,
@@ -245,17 +287,21 @@ def main():
     )
     rng = np.random.default_rng(0)
     t0 = time.time()
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False)
-    folded = jax.device_put(fold_inference_params(variables, dtype=jnp.bfloat16))
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, chans, 4, 4)), train=False
+    )
+    folded = jax.device_put(
+        fold_inference_params(variables, dtype=jnp.bfloat16, seqs_cnt=seqs)
+    )
     log(f"init+fold: {time.time()-t0:.1f}s")
 
     def forward(x):
-        return tactile_sr_infer(folded, x)
+        return tactile_sr_infer(folded, x, seqs_cnt=seqs)
 
     best_fps = 0.0
     best_batch = 0
     for batch in (2048, 4096, 8192):
-        x = jax.device_put(rng.random((batch, 3, 4, 4)).astype(np.float32))
+        x = jax.device_put(rng.random((batch, chans, 4, 4)).astype(np.float32))
         t0 = time.time()
         out = forward(x)
         float(jnp.asarray(out[0, 0, 0, 0]))  # true sync (compile + warm)
@@ -282,7 +328,7 @@ def main():
     # tunnel RTT per call on axon -- an upper bound on device latency)
     latency_ms = {}
     for batch in (1, 8, 64):
-        x = jax.device_put(rng.random((batch, 3, 4, 4)).astype(np.float32))
+        x = jax.device_put(rng.random((batch, chans, 4, 4)).astype(np.float32))
         out = forward(x)
         float(jnp.asarray(out[0, 0, 0, 0]))
         ts = []
@@ -294,11 +340,24 @@ def main():
         latency_ms[f"B{batch}"] = round(float(np.median(ts)) * 1e3, 2)
         log(f"latency B={batch}: median {latency_ms[f'B{batch}']} ms")
 
+    # device-side latency from profiler traces (no tunnel RTT in the number)
+    device_ms = {}
+    for batch in (1, 8, 64):
+        x = jax.device_put(rng.random((batch, chans, 4, 4)).astype(np.float32))
+        d = device_latency_ms(forward, x, jax, jnp)
+        if d is not None:
+            device_ms[f"B{batch}"] = d
+            log(f"device latency B={batch}: {d} ms/dispatch (trace)")
+
     log(f"best: batch {best_batch} -> {best_fps:,.0f} frames/s")
     print(
         json.dumps(
             {
-                "metric": "sr_inference_throughput",
+                "metric": (
+                    "sr_inference_throughput"
+                    if seqs == 1
+                    else f"mtsr_seqs{seqs}_inference_throughput"
+                ),
                 "value": round(best_fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(best_fps / BASELINE_FPS, 3),
@@ -310,12 +369,17 @@ def main():
                         "counting original-graph FLOPs); full numbers in "
                         "RESULTS.md"
                     ),
-                    "latency_ms_median_incl_tunnel_rtt": latency_ms,
-                    "latency_note": (
-                        "medians are tunnel-RTT-dominated; device-side "
-                        "trace-measured latency is sub-ms at B=1 -- see "
-                        "RESULTS.md"
-                    ),
+                    "timing": "best-of-3 rounds (r1-r2 were single-round; "
+                    "the shared tunnel understates single rounds)",
+                    "latency": {
+                        "end_to_end_ms_median": latency_ms,
+                        "device_ms_per_dispatch_trace": device_ms,
+                        "note": (
+                            "end-to-end includes one tunnel RTT per call "
+                            "on axon; device_ms is the trace-derived "
+                            "on-chip time per dispatch"
+                        ),
+                    },
                     "train_throughput": (
                         "see `python bench.py --train` and RESULTS.md; "
                         "torch-CPU reference baseline provenance: "
@@ -346,4 +410,4 @@ if __name__ == "__main__":
             tile=_argval("--tile", 8, int),
         )
     else:
-        main()
+        main(seqs=_argval("--seqs", 1, int))

@@ -105,11 +105,80 @@ def run_phase(url, n_clients, reqs_per_client, frames_per_req, rng):
     }
 
 
+def run_overload(url, n_clients, reqs_per_client, frames_per_req, rng):
+    """Phase D: drive arrivals past the service rate against a BOUNDED
+    queue and report how the endpoint degrades: accepted throughput,
+    accepted-request latency percentiles, clean 429/504 counts, and the
+    max queue depth ever observed (must stay at/below the bound)."""
+    import urllib.error
+
+    lr = (rng.random((frames_per_req, 3, 4, 4)) * 4).astype(np.float32)
+    codes, latencies, errs = [], [], []
+    lock = threading.Lock()
+    stop = threading.Event()
+    max_depth = [0]
+
+    def monitor():
+        while not stop.is_set():
+            try:
+                d = stats(url)["queue_depth_frames"]
+                max_depth[0] = max(max_depth[0], d)
+            except Exception:
+                pass
+            time.sleep(0.005)
+
+    def client():
+        for _ in range(reqs_per_client):
+            t0 = time.perf_counter()
+            try:
+                post_npz(url, lr)
+                with lock:
+                    codes.append(200)
+                    latencies.append(time.perf_counter() - t0)
+            except urllib.error.HTTPError as e:
+                e.read()
+                with lock:
+                    codes.append(e.code)
+            except Exception as e:  # pragma: no cover
+                with lock:
+                    errs.append(repr(e))
+
+    mon = threading.Thread(target=monitor, daemon=True)
+    mon.start()
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    stop.set()
+    mon.join(2)
+    lat = sorted(latencies)
+    pick = lambda q: round(lat[int(q * (len(lat) - 1))] * 1e3, 1) if lat else None
+    counts = {c: codes.count(c) for c in sorted(set(codes))}
+    return {
+        "clients": n_clients,
+        "frames_per_req": frames_per_req,
+        "wall_s": round(dt, 2),
+        "status_counts": counts,
+        "connection_errors": len(errs),
+        "accepted_frames_per_sec": round(
+            counts.get(200, 0) * frames_per_req / dt, 1
+        ),
+        "accepted_latency_ms": {"p50": pick(0.5), "p95": pick(0.95), "p99": pick(0.99)},
+        "max_queue_depth_frames_observed": max_depth[0],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--linger-ms", type=float, default=5.0)
+    ap.add_argument("--max-queue-frames", type=int, default=2048)
+    ap.add_argument("--deadline-ms", type=float, default=2000.0)
+    ap.add_argument("--skip-overload", action="store_true")
     args = ap.parse_args()
 
     from tactilesr_tpu.server import create_server
@@ -117,6 +186,8 @@ def main():
     ckpt = args.checkpoint or make_ckpt("/tmp/bench_server_model.ckpt")
     srv = create_server(
         ckpt, linger_ms=args.linger_ms,
+        max_queue_frames=args.max_queue_frames or None,
+        deadline_ms=args.deadline_ms or None,
         scale_factor=10, pattern_layers=6, force_layers=1,
         compute_dtype="bfloat16",
     )
@@ -141,6 +212,15 @@ def main():
     results["max_coalesced_requests_overall"] = stats(url)[
         "max_coalesced_requests"
     ]
+    if not args.skip_overload:
+        # arrival >> service: 64 clients x 64-frame requests back-to-back
+        results["overload_bounded_queue"] = run_overload(
+            url, args.clients, 8, 64, rng
+        )
+        results["overload_bounds"] = {
+            "max_queue_frames": args.max_queue_frames,
+            "deadline_ms": args.deadline_ms,
+        }
     print(json.dumps(results, indent=1))
     srv.shutdown()
     srv.batcher.shutdown()

@@ -41,6 +41,13 @@ def main() -> int:
         action="store_true",
         help="rematerialized backward (jax.checkpoint on the loss)",
     )
+    p.add_argument(
+        "--grad-accum",
+        type=int,
+        default=1,
+        help="micro-batch accumulation: --batch is the EFFECTIVE batch, "
+        "each dispatch sees batch/grad_accum rows (the B>256 cliff cure)",
+    )
     args = p.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="sr_train_trace_")
 
@@ -91,6 +98,7 @@ def main() -> int:
         work_dir=cfg["save_dir"],
         scan_epochs=True,
         remat=args.remat,
+        grad_accum=args.grad_accum,
     )
     tr._epoch_scan = tr._build_epoch_scan()
     tr.train_one_epoch_scan()  # compile + warm epoch
@@ -120,9 +128,13 @@ def main() -> int:
             cnt[e["name"]] += 1
     total = sum(d for nm, d in dur.items() if nm.startswith("jit_"))
     print(f"trace: {paths[-1]}")
+    sps = batch * steps / (total / 1e6) if total else 0.0
     print(
         f"total device time: {total/1e3:.1f} ms/epoch of {steps} steps "
-        f"= {total/steps/1e3:.2f} ms/step at B={batch}\n"
+        f"= {total/steps/1e3:.2f} ms/step at B={batch}"
+        + (f" (grad_accum={args.grad_accum}, micro-batch "
+           f"{batch//args.grad_accum})" if args.grad_accum > 1 else "")
+        + f" -> {sps:,.0f} samples/s device-side\n"
     )
     print(f"{'ms/step':>9}  {'calls':>5}  op")
     for nm, d in dur.most_common(args.top):

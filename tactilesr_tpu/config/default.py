@@ -43,6 +43,12 @@ common_config = {
     # fits comfortably); enables train batches whose f32 BN buffers
     # otherwise OOM on one chip (B=2048 -- measured in docs/PERF.md).
     "remat": False,
+    # gradient accumulation: split each optimizer step's batch into K
+    # micro-batches of train_batch_size/K rows, accumulate valid-row-
+    # weighted gradients, step once.  The cure for the single-chip B>256
+    # layout cliff (docs/PERF.md): a large EFFECTIVE batch at the healthy
+    # per-dispatch shape.  1 = off.
+    "grad_accum": 1,
     # data parallelism over the local device mesh: "auto" uses every device
     # the batch size divides over (single device -> no mesh), "off" disables,
     # an integer requests exactly N devices.  See parallel/mesh.py.
@@ -132,6 +138,10 @@ tactileSR_config = {
     # torch reference, RESULTS.md "head-init study").  Same param tree
     # either way (checkpoint-compatible); additive over the reference.
     "head_init": "reference",
+    # runtime detector for the born-dead-head signature (loss pinned at
+    # mean(HR^2), ~zero output variance): logs a WARNING naming the
+    # head_init cure after 3 such epochs.  See tasks/sr_task.py::DeadHeadHook.
+    "dead_head_check": True,
     "inference_test": True,
     "save_dir": os.path.join(root_path, "pth/tactileSR_single"),
     "train_dataset_dir": os.path.join(root_path, "data/SRdataset/SRdataset_train.npz"),

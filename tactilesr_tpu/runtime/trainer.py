@@ -75,13 +75,15 @@ class TrainState(struct.PyTreeNode):
 
 def masked_mse(pred, target, mask):
     """MSE over valid rows only (padded final-batch rows carry mask 0).
-    Equals torch nn.MSELoss() on the unpadded batch."""
+    Equals torch nn.MSELoss() on the unpadded batch.  An all-padded batch
+    (possible for a grad_accum micro-batch inside the final epoch step)
+    yields loss 0 with zero gradients instead of 0/0."""
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     m = mask.reshape((-1,) + (1,) * (pred.ndim - 1))
     per_elem = math.prod(pred.shape[1:])
     se = jnp.sum(jnp.square(pred - target) * m)
-    return se / (jnp.sum(mask) * per_elem)
+    return se / jnp.maximum(jnp.sum(mask) * per_elem, 1.0)
 
 
 class Trainer:
@@ -105,12 +107,18 @@ class Trainer:
         seed: int = 42,
         scan_epochs: bool = False,
         remat: bool = False,
+        grad_accum: int = 1,
     ):
         assert (max_epochs > 0) ^ (max_iters > 0), (
             "specify either max_epochs or max_iters"
         )
         assert not (scan_epochs and max_iters > 0), (
             "scan_epochs requires epoch-based training"
+        )
+        assert grad_accum >= 1, "grad_accum must be >= 1"
+        assert batch_size % grad_accum == 0, (
+            f"batch_size ({batch_size}) must divide into grad_accum "
+            f"({grad_accum}) micro-batches"
         )
         self.model = model
         self.tx = tx
@@ -140,8 +148,9 @@ class Trainer:
         if mesh is not None:
             # fail here with a clear message instead of inside XLA's
             # sharding propagation (every epoch batch is padded to the full
-            # batch_size, so this is the only divisibility that matters)
-            shard_batch_size(batch_size, mesh)
+            # batch_size, so this is the only divisibility that matters);
+            # under accumulation, the micro-batch is what lands on devices
+            shard_batch_size(batch_size // grad_accum, mesh)
             self._repl = replicated_sharding(mesh)
             self._bshard = batch_sharding(mesh)
         else:
@@ -162,6 +171,7 @@ class Trainer:
         self._epoch_scan = None
         self.scan_epochs = scan_epochs
         self.remat = remat
+        self.grad_accum = int(grad_accum)
         self._max_num_checkpoints = max_num_checkpoints
         self._checkpoint_period = checkpoint_period
         self._log_period = log_period
@@ -249,17 +259,27 @@ class Trainer:
             "subclass the Trainer and implement train_cal_loss"
         )
 
-    def _build_train_step(self):
+    def _step_core(self, state: TrainState, data, lr, idx, mask):
+        """One optimizer step (traced).  ``idx``/``mask`` are (B,) when
+        ``grad_accum == 1``, else (K, B/K): K micro-batches consumed by an
+        inner ``lax.scan`` that accumulates gradients and steps ONCE.
+
+        Accumulation semantics: micro-gradients are weighted by their
+        valid-row count, so for any mean-over-valid-rows loss (both recipe
+        losses are MSE) the accumulated gradient EQUALS the full-batch
+        gradient -- padded final batches included.  BatchNorm is the one
+        deliberate difference: train-mode BN normalizes each micro-batch by
+        its own statistics (exactly like torch grad accumulation), and
+        running stats see K momentum updates per step; docs/PERF.md
+        "Gradient accumulation" quantifies the effect."""
         tx = self.tx
 
-        def step_fn(state: TrainState, data, lr, idx, mask):
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            batch["mask"] = mask
+        def loss_and_grads(batch_stats, idx_m, mask_m):
+            batch = {k: jnp.take(v, idx_m, axis=0) for k, v in data.items()}
+            batch["mask"] = mask_m
 
-            def loss_wrap(params, batch_stats):
-                loss, loss_dict, new_bs = self.train_cal_loss(
-                    params, batch_stats, batch
-                )
+            def loss_wrap(params, bs):
+                loss, loss_dict, new_bs = self.train_cal_loss(params, bs, batch)
                 return loss, (loss_dict, new_bs)
 
             if self.remat:
@@ -270,17 +290,58 @@ class Trainer:
                 loss_wrap = jax.checkpoint(loss_wrap)
             (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
-            )(state.params, state.batch_stats)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            updates = scale_updates_by_lr(updates, lr)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                params=new_params,
-                batch_stats=new_bs,
-                opt_state=new_opt,
-                step=state.step + 1,
+            )(state.params, batch_stats)
+            return grads, loss_dict, new_bs
+
+        if self.grad_accum == 1:
+            grads, loss_dict, new_bs = loss_and_grads(
+                state.batch_stats, idx, mask
             )
-            return new_state, loss_dict
+        else:
+            def micro(carry, inp):
+                gsum, bs = carry
+                idx_m, mask_m = inp
+                grads, loss_dict, new_bs = loss_and_grads(bs, idx_m, mask_m)
+                w = jnp.sum(mask_m).astype(jnp.float32)
+                # an all-padded micro-batch contributes nothing -- and a
+                # subclass loss may be NaN there, so select, don't just
+                # scale by w=0 (NaN*0 stays NaN)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, g: a
+                    + jnp.where(w > 0, w * g.astype(jnp.float32), 0.0),
+                    gsum,
+                    grads,
+                )
+                return (gsum, new_bs), (loss_dict, w)
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (gsum, new_bs), (loss_stack, ws) = jax.lax.scan(
+                micro, (zeros, state.batch_stats), (idx, mask)
+            )
+            wtot = jnp.sum(ws)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / wtot).astype(p.dtype), gsum, state.params
+            )
+            loss_dict = jax.tree_util.tree_map(
+                lambda v: jnp.sum(jnp.where(ws > 0, v * ws, 0.0)) / wtot,
+                loss_stack,
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = scale_updates_by_lr(updates, lr)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, loss_dict
+
+    def _build_train_step(self):
+        def step_fn(state: TrainState, data, lr, idx, mask):
+            return self._step_core(state, data, lr, idx, mask)
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -290,43 +351,25 @@ class Trainer:
         entirely -- the TPU-native shape for models this small.  Per-iter
         hooks do not fire inside the scan (metrics for every step are still
         recorded); the recipes' hooks are all epoch-cadenced."""
-        tx = self.tx
-
-        def step_fn(state: TrainState, inputs, data):
-            idx, mask, lr = inputs
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            batch["mask"] = mask
-
-            def loss_wrap(params, batch_stats):
-                loss, loss_dict, new_bs = self.train_cal_loss(
-                    params, batch_stats, batch
-                )
-                return loss, (loss_dict, new_bs)
-
-            if self.remat:
-                loss_wrap = jax.checkpoint(loss_wrap)
-            (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
-                loss_wrap, has_aux=True
-            )(state.params, state.batch_stats)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            updates = scale_updates_by_lr(updates, lr)
-            new_params = optax.apply_updates(state.params, updates)
-            return (
-                state.replace(
-                    params=new_params,
-                    batch_stats=new_bs,
-                    opt_state=new_opt,
-                    step=state.step + 1,
-                ),
-                loss_dict,
-            )
 
         def epoch_fn(state, data, idxs, masks, lrs):
             return jax.lax.scan(
-                lambda s, x: step_fn(s, x, data), state, (idxs, masks, lrs)
+                lambda s, x: self._step_core(s, data, x[2], x[0], x[1]),
+                state,
+                (idxs, masks, lrs),
             )
 
         return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def _micro_shape(self, idx: np.ndarray, mask: np.ndarray):
+        """Host-side reshape (B,) -> (K, B/K) for accumulation.  Done here
+        (not traced) so the device arrays arrive pre-shaped with the
+        micro-batch axis minor and the sharding annotation on the rows."""
+        K = self.grad_accum
+        return (
+            idx.reshape(idx.shape[:-1] + (K, -1)),
+            mask.reshape(mask.shape[:-1] + (K, -1)),
+        )
 
     def _epoch_lrs(self, steps: int) -> np.ndarray:
         """Per-step LRs for the upcoming epoch, advancing the real schedule
@@ -349,12 +392,16 @@ class Trainer:
         steps = idxs.shape[0]
         base_iter = self.cur_iter
         lrs = self._epoch_lrs(steps)
+        if self.grad_accum > 1:
+            idxs, masks = self._micro_shape(idxs, masks)
 
         if self._bshard is not None:
-            # shard the per-step batch axis (axis 1) over the data axis
+            # shard the per-step batch axis (the minor axis: rows of each
+            # (micro-)batch) over the data axis
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            step_shard = NamedSharding(self.mesh, P(None, "data"))
+            spec = P(*([None] * (idxs.ndim - 1) + ["data"]))
+            step_shard = NamedSharding(self.mesh, spec)
             idxs_j = put_global(idxs, step_shard)
             masks_j = put_global(masks, step_shard)
         else:
@@ -388,9 +435,17 @@ class Trainer:
     def train_one_iter(self, idx: np.ndarray, mask: np.ndarray) -> None:
         iter_start = time.perf_counter()
         start = time.perf_counter()
+        if self.grad_accum > 1:
+            idx, mask = self._micro_shape(idx, mask)
         if self._bshard is not None:
-            idx = put_global(idx, self._bshard)
-            mask = put_global(mask, self._bshard)
+            if self.grad_accum > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(self.mesh, P(None, "data"))
+            else:
+                shard = self._bshard
+            idx = put_global(idx, shard)
+            mask = put_global(mask, shard)
         else:
             idx = jnp.asarray(idx)
             mask = jnp.asarray(mask)

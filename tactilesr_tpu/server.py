@@ -25,6 +25,10 @@ Endpoints
 - ``POST /predict``  — body is an ``.npz`` with an ``LR`` array of shape
   (N, C, 4, 4) (``Content-Type: application/x-npz``, the default) or JSON
   ``{"lr": [...]}``;  response mirrors the request format with ``SR``.
+  Under overload: 429 + ``Retry-After`` once ``max_queue_frames`` pending
+  frames are queued (backpressure, rejected before enqueue), 504 when a
+  request misses its ``deadline_ms`` (the queued item is abandoned and
+  costs no device time).
 - ``POST /reload``   — JSON ``{"checkpoint": path}``; hot-swaps weights
   without recompiling.  409 + old weights keep serving on a mismatch.
 """
@@ -45,15 +49,37 @@ import numpy as np
 
 from .serving import SRPredictor
 
-__all__ = ["MicroBatcher", "SRServer", "create_server"]
+__all__ = [
+    "MicroBatcher",
+    "SRServer",
+    "create_server",
+    "QueueFullError",
+    "DeadlineExceededError",
+]
 
 logger = logging.getLogger("tactilesr_tpu")
 
 _SHUTDOWN = object()
 
 
+class QueueFullError(RuntimeError):
+    """Backpressure: the batcher's frame backlog is at max_queue_frames.
+
+    Raised by ``submit`` BEFORE enqueueing, so a rejected request costs the
+    server nothing but the shape check.  HTTP maps this to 429 with a
+    Retry-After estimate."""
+
+
+class DeadlineExceededError(RuntimeError):
+    """The request's deadline expired before its rows came back.
+
+    The caller is released immediately; the queued item is marked abandoned
+    so the worker drops it without spending device time.  HTTP maps this
+    to 504."""
+
+
 class _Pending:
-    __slots__ = ("arr", "event", "result", "error", "t0")
+    __slots__ = ("arr", "event", "result", "error", "t0", "abandoned")
 
     def __init__(self, arr: np.ndarray):
         self.arr = arr
@@ -61,6 +87,7 @@ class _Pending:
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
         self.t0 = time.monotonic()  # enqueue time, for latency stats
+        self.abandoned = False  # set by a timed-out caller; worker skips it
 
 
 class MicroBatcher:
@@ -79,26 +106,43 @@ class MicroBatcher:
         predictor: SRPredictor,
         max_batch: Optional[int] = None,
         linger_ms: float = 2.0,
+        max_queue_frames: Optional[int] = None,
+        deadline_ms: Optional[float] = None,
     ):
         self.predictor = predictor
         self.max_batch = int(max_batch or predictor.buckets[-1])
         self.linger_s = float(linger_ms) / 1e3
+        # backpressure: frames admitted but not yet completed.  None keeps
+        # the pre-round-4 unbounded behavior (library use); the HTTP CLI
+        # always sets a bound.
+        self.max_queue_frames = (
+            int(max_queue_frames) if max_queue_frames else None
+        )
+        self.deadline_s = float(deadline_ms) / 1e3 if deadline_ms else None
+        self._pending_frames = 0  # guarded by _close_lock, same as admission
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
         # serializes the closed-check+enqueue in submit() against
         # shutdown() flipping _closed: an item observed open is enqueued
         # BEFORE the sentinel, so the worker (or the post-join drain)
-        # always completes its event -- no caller can block forever
+        # always completes its event -- no caller can block forever.
+        # Also guards _pending_frames, making the full-check+admit atomic.
         self._close_lock = threading.Lock()
         self.stats = {
             "requests": 0,
             "frames": 0,
             "batches": 0,
             "max_coalesced_requests": 0,
+            "rejected_full": 0,
+            "deadline_exceeded": 0,
+            "abandoned_skipped": 0,
         }
         # last-N request latencies (enqueue -> rows ready), for /stats
         self._latencies = collections.deque(maxlen=512)
+        # recent (timestamp, frames) per dispatch -> service-rate estimate
+        # for Retry-After on 429s
+        self._dispatch_log = collections.deque(maxlen=64)
         self._worker = threading.Thread(
             target=self._run, name="microbatcher", daemon=True
         )
@@ -112,12 +156,37 @@ class MicroBatcher:
             raise ValueError(
                 f"expected (N>=1, {c}, 4, 4) readings, got {lr.shape}"
             )
+        n = lr.shape[0]
         item = _Pending(lr)
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is shut down")
+            if (
+                self.max_queue_frames is not None
+                and self._pending_frames + n > self.max_queue_frames
+            ):
+                with self._lock:
+                    self.stats["rejected_full"] += 1
+                raise QueueFullError(
+                    f"queue full: {self._pending_frames} frames pending, "
+                    f"request of {n} would exceed max_queue_frames="
+                    f"{self.max_queue_frames}"
+                )
+            self._pending_frames += n
             self._q.put(item)
-        item.event.wait()
+        if not item.event.wait(self.deadline_s):
+            # the item stays queued (memory already accounted in
+            # _pending_frames, released when the worker pops it); marking
+            # it abandoned lets the worker drop it without device work.
+            # Benign race: the worker may complete it concurrently -- the
+            # caller has already given up either way.
+            item.abandoned = True
+            with self._lock:
+                self.stats["deadline_exceeded"] += 1
+            raise DeadlineExceededError(
+                f"request of {n} frames missed its "
+                f"{self.deadline_s * 1e3:.0f} ms deadline"
+            )
         if item.error is not None:
             # a fresh exception per caller: a coalesced batch shares one
             # failure, and re-raising the same instance from N threads
@@ -152,6 +221,8 @@ class MicroBatcher:
                 break
             if item is _SHUTDOWN:
                 continue
+            with self._close_lock:
+                self._pending_frames -= item.arr.shape[0]
             item.error = RuntimeError("MicroBatcher is shut down")
             item.event.set()
 
@@ -183,39 +254,58 @@ class MicroBatcher:
             if first is _SHUTDOWN:
                 return
             batch, total = self._collect(first)
+            # deadline-abandoned callers are gone; dropping their rows here
+            # is what makes a timed-out request cost no device time
+            live = [p for p in batch if not p.abandoned]
             try:
-                out = self.predictor.predict(
-                    np.concatenate([p.arr for p in batch])
-                    if len(batch) > 1
-                    else batch[0].arr
-                )
-                i = 0
-                for p in batch:
-                    n = p.arr.shape[0]
-                    p.result = out[i : i + n]
-                    i += n
+                if live:
+                    out = self.predictor.predict(
+                        np.concatenate([p.arr for p in live])
+                        if len(live) > 1
+                        else live[0].arr
+                    )
+                    i = 0
+                    for p in live:
+                        n = p.arr.shape[0]
+                        p.result = out[i : i + n]
+                        i += n
             except BaseException as e:  # deliver, don't kill the worker
-                for p in batch:
+                for p in live:
                     p.error = e
             finally:
+                # popped items no longer hold queue memory: release the
+                # admission budget (same lock as the full-check in submit)
+                with self._close_lock:
+                    self._pending_frames -= total
                 # stats first, wake-ups last: a caller that has its response
                 # always sees its own dispatch reflected in /stats
                 now = time.monotonic()
+                live_frames = sum(p.arr.shape[0] for p in live)
                 with self._lock:
-                    self.stats["requests"] += len(batch)
-                    self.stats["frames"] += total
-                    self.stats["batches"] += 1
-                    self.stats["max_coalesced_requests"] = max(
-                        self.stats["max_coalesced_requests"], len(batch)
-                    )
-                    self._latencies.extend(now - p.t0 for p in batch)
-                for p in batch:
+                    self.stats["requests"] += len(live)
+                    self.stats["frames"] += live_frames
+                    if live:
+                        self.stats["batches"] += 1
+                        self.stats["max_coalesced_requests"] = max(
+                            self.stats["max_coalesced_requests"], len(live)
+                        )
+                    self.stats["abandoned_skipped"] += len(batch) - len(live)
+                    self._latencies.extend(now - p.t0 for p in live)
+                    if live:
+                        self._dispatch_log.append((now, live_frames))
+                for p in live:
                     p.event.set()
 
     def snapshot_stats(self) -> dict:
         with self._lock:
             s = dict(self.stats)
             lats = sorted(self._latencies)
+        with self._close_lock:
+            s["queue_depth_frames"] = self._pending_frames
+        s["max_queue_frames"] = self.max_queue_frames
+        s["deadline_ms"] = (
+            round(self.deadline_s * 1e3, 1) if self.deadline_s else None
+        )
         s["avg_frames_per_dispatch"] = (
             round(s["frames"] / s["batches"], 2) if s["batches"] else 0.0
         )
@@ -226,6 +316,21 @@ class MicroBatcher:
                 "window": len(lats),
             }
         return s
+
+    def retry_after_s(self) -> int:
+        """Seconds until the current backlog likely drains, from the recent
+        service rate -- the Retry-After value for a 429.  Clamped [1, 30]."""
+        with self._lock:
+            log = list(self._dispatch_log)
+        with self._close_lock:
+            backlog = self._pending_frames
+        if len(log) >= 2:
+            span = log[-1][0] - log[0][0]
+            frames = sum(n for _, n in log[1:])
+            if span > 0 and frames > 0:
+                est = backlog / (frames / span)
+                return int(min(30, max(1, round(est))))
+        return 1
 
 
 class _BadRequest(Exception):
@@ -245,15 +350,17 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route http.server chatter to DEBUG
         logger.debug("http: " + fmt, *args)
 
-    def _send(self, code: int, body: bytes, ctype: str) -> None:
+    def _send(self, code: int, body: bytes, ctype: str, headers=()) -> None:
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for name, value in headers:
+            self.send_header(name, value)
         self.end_headers()
         self.wfile.write(body)
 
-    def _send_json(self, code: int, obj) -> None:
-        self._send(code, json.dumps(obj).encode(), "application/json")
+    def _send_json(self, code: int, obj, headers=()) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json", headers)
 
     def _body(self) -> bytes:
         try:
@@ -306,6 +413,17 @@ class _Handler(BaseHTTPRequestHandler):
             sr = self.server.batcher.submit(lr)
         except ValueError as e:  # shape validation
             self._send_json(400, {"error": str(e)})
+            return
+        except QueueFullError as e:  # backpressure: bounded, fast rejection
+            retry = self.server.batcher.retry_after_s()
+            self._send_json(
+                429,
+                {"error": str(e), "retry_after_s": retry},
+                headers=(("Retry-After", str(retry)),),
+            )
+            return
+        except DeadlineExceededError as e:
+            self._send_json(504, {"error": str(e)})
             return
         except Exception as e:  # device-side failure
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -377,6 +495,8 @@ def create_server(
     port: int = 0,
     linger_ms: float = 2.0,
     max_batch: Optional[int] = None,
+    max_queue_frames: Optional[int] = None,
+    deadline_ms: Optional[float] = None,
     warmup: bool = True,
     **predictor_kw,
 ) -> SRServer:
@@ -387,7 +507,13 @@ def create_server(
     pred = SRPredictor(checkpoint_path, **predictor_kw)
     if warmup:
         pred.warmup()
-    batcher = MicroBatcher(pred, max_batch=max_batch, linger_ms=linger_ms)
+    batcher = MicroBatcher(
+        pred,
+        max_batch=max_batch,
+        linger_ms=linger_ms,
+        max_queue_frames=max_queue_frames,
+        deadline_ms=deadline_ms,
+    )
     srv = SRServer((host, port), pred, batcher, checkpoint_path)
     logger.info(
         "SRServer ready on http://%s:%d (buckets %s, linger %.1f ms)",
@@ -415,6 +541,14 @@ def _cli():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8912)
     p.add_argument("--linger-ms", type=float, default=2.0)
+    p.add_argument(
+        "--max-queue-frames", type=int, default=8192,
+        help="backpressure bound on pending frames (429 past it); 0 = unbounded",
+    )
+    p.add_argument(
+        "--deadline-ms", type=float, default=10_000.0,
+        help="per-request deadline (504 past it); 0 = none",
+    )
     p.add_argument("--seqs-cnt", type=int, default=1)
     p.add_argument("--scale-factor", type=int, default=10)
     p.add_argument("--pattern-layers", type=int, default=6)
@@ -435,6 +569,8 @@ def _cli():
         host=args.host,
         port=args.port,
         linger_ms=args.linger_ms,
+        max_queue_frames=args.max_queue_frames or None,
+        deadline_ms=args.deadline_ms or None,
         scale_factor=args.scale_factor,
         seqs_cnt=args.seqs_cnt,
         pattern_layers=args.pattern_layers,

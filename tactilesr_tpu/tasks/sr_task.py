@@ -283,6 +283,80 @@ class InferenceHookSR(HookBase):
         plt.close(fig)
 
 
+class DeadHeadHook(HookBase):
+    """Runtime detector for the born-dead-head failure mode.
+
+    The pathology (reference's own init + no-warmup recipe,
+    /root/reference/model/tactileSR_model.py:92-98 +
+    tactileSRSeqs_train.py): a bad head draw leaves every output pixel in
+    the dead half of the activation, the model emits a constant map
+    forever, and training silently burns epochs with the loss pinned at
+    mean(HR^2) and SSIM 0 (RESULTS.md "The head-init study" measured
+    2x51 such epochs before diagnosis).  The signature is unambiguous:
+    train loss within ``rel_tol`` of mean(HR^2) AND eval-mode output
+    variance ~0 on a probe batch.  After ``patience`` consecutive epochs
+    the hook logs an actionable WARNING naming the cure
+    (``head_init: non_negative``, scale-compensated; +4-7 dB in the
+    study) -- it never aborts the run."""
+
+    priority = 4
+
+    def __init__(self, probe_lr: np.ndarray, patience: int = 3,
+                 rel_tol: float = 0.05, n_probe: int = 8):
+        self._probe = np.asarray(probe_lr[:n_probe], np.float32)
+        self._patience = patience
+        self._rel_tol = rel_tol
+        self._streak = 0
+        self._warned = False
+
+    def before_train(self) -> None:
+        # the level the loss pins at: mean over the PREPARED labels the
+        # loss actually sees (scaled + resized), fetched once
+        hr = self.trainer.device_arrays["HR"]
+        self._hr_power = float(jax.device_get(jnp.mean(jnp.square(hr))))
+        self._hr_var = float(jax.device_get(jnp.var(hr)))
+
+    def after_epoch(self) -> None:
+        if self._warned:
+            return
+        t = self.trainer
+        storage = t.metric_storage
+        if "total_loss" not in storage:
+            return
+        loss = storage["total_loss"].avg
+        pinned = (
+            self._hr_power > 0
+            and abs(loss - self._hr_power) / self._hr_power < self._rel_tol
+        )
+        if not pinned:
+            self._streak = 0
+            return
+        out = np.asarray(t.model_apply(jnp.asarray(self._probe), train=False))
+        flat = np.var(out) < 1e-4 * max(self._hr_var, 1e-12)
+        self._streak = self._streak + 1 if flat else 0
+        if self._streak >= self._patience:
+            self._warned = True
+            logger.warning(
+                "Dead head detected: for %d consecutive epochs the train "
+                "loss has sat at mean(HR^2)=%.4g (loss=%.4g) with ~zero "
+                "output variance (%.3g) on an eval probe -- the model is "
+                "emitting a constant map and will not recover.  This is "
+                "the known born-dead-head init failure (see RESULTS.md "
+                "'The head-init study').  Restart with `head_init: "
+                "non_negative` (config key; scale-compensated all-positive "
+                "final kernel, +4-7 dB in the study), e.g. "
+                "`--head_init non_negative`.",
+                self._patience, self._hr_power, loss, float(np.var(out)),
+            )
+
+    def state_dict(self) -> dict:
+        return {"streak": self._streak, "warned": self._warned}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._streak = int(state.get("streak", 0))
+        self._warned = bool(state.get("warned", False))
+
+
 def transfer_trunk_params(seqs_variables: dict, single_bundle: dict) -> dict:
     """Warm-start the MTSR trunk from an STSR checkpoint bundle: graft the
     ``patternFeatureExtra_layer_*`` and ``forceFeatureExtra_layer_*`` subtrees
@@ -401,10 +475,15 @@ def main(
         seed=config["random_seed"],
         scan_epochs=bool(config.get("scan_epochs", False)),
         remat=bool(config.get("remat", False)),
+        grad_accum=int(config.get("grad_accum", 1)),
     )
 
     test_arrays = {"LR": lr_test, "HR": hr_test}
+    from ..parallel.dist import is_main_process
+
     trainer.register_hooks([EvalHook(1, build_eval_fn(trainer, test_arrays))])
+    if config.get("dead_head_check", True) and is_main_process():
+        trainer.register_hooks([DeadHeadHook(test_arrays["LR"])])
     if config.get("inference_test"):
         from ..parallel.dist import is_main_process
 

@@ -258,6 +258,7 @@ def main(config=None, mesh=None, max_epochs: Optional[int] = None):
         seed=config["random_seed"],
         scan_epochs=bool(config.get("scan_epochs", False)),
         remat=bool(config.get("remat", False)),
+        grad_accum=int(config.get("grad_accum", 1)),
     )
 
     trainer.register_hooks(

@@ -402,3 +402,52 @@ def test_resolve_mesh_auto_indivisible_batch_falls_back_to_none():
     from tactilesr_tpu.parallel.mesh import resolve_mesh
 
     assert resolve_mesh("auto", batch_size=1) is None
+
+
+# ------------------------------------------------------- dead-head detector
+def _dead_trainer(tmp_path, rng, check=True):
+    """Force the born-dead-head pathology deterministically: all-zero
+    params emit a constant-zero map (BN folds zeros to zeros, final conv
+    bias is 0), and an ~zero LR keeps them there -- loss pins at
+    mean(HR^2) with zero output variance, the exact seed-3 signature."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    lr, hr = _toy_data(rng)
+    cfg = _toy_config(str(tmp_path), lr=1e-30, warmup_t=0)
+    t = _make_trainer(cfg, lr, hr, max_epochs=4)
+    t.state = t.state.replace(
+        params=_jax.tree_util.tree_map(
+            lambda p: _jnp.zeros_like(p), t.state.params
+        )
+    )
+    if check:
+        t.register_hooks([DeadHeadHook(lr, patience=3)])
+    return t
+
+
+def test_dead_head_hook_warns_on_pinned_constant_output(tmp_path, rng):
+    """The runtime detector: 3 consecutive epochs of loss==mean(HR^2) with
+    ~zero probe variance fire ONE actionable warning naming the
+    `head_init: non_negative` cure (RESULTS.md head-init study)."""
+    t = _dead_trainer(tmp_path, rng)
+    with _Capture() as cap:
+        t.train(auto_resume=False)
+    dead = [m for m in cap.messages if "Dead head detected" in m]
+    assert len(dead) == 1  # fires once, then stays quiet
+    assert "head_init" in dead[0] and "non_negative" in dead[0]
+
+
+def test_dead_head_hook_quiet_on_healthy_run(tmp_path, rng):
+    """A normal training run (params alive, loss leaves mean(HR^2)) must
+    never trip the detector."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    lr, hr = _toy_data(rng)
+    t = _make_trainer(_toy_config(str(tmp_path)), lr, hr, max_epochs=4)
+    t.register_hooks([DeadHeadHook(lr, patience=2)])
+    with _Capture() as cap:
+        t.train(auto_resume=False)
+    assert not any("Dead head" in m for m in cap.messages)

@@ -333,3 +333,185 @@ def test_malformed_content_length_returns_400(server, bad_len):
         assert "Content-Length" in json.loads(resp.read())["error"]
     finally:
         conn.close()
+
+
+# ---------------------------------------------------------------- overload
+
+
+class _SlowPredictor:
+    """Predictor stand-in with a controllable service time: lets the
+    overload tests create a backlog deterministically without device
+    timing."""
+
+    def __init__(self, delay_s=0.2, scale=4):
+        self.buckets = (16,)
+        self.in_channels = 3
+        self.delay_s = delay_s
+        self.scale = scale
+        self.calls = []  # batch sizes actually dispatched
+
+    def predict(self, lr):
+        self.calls.append(lr.shape[0])
+        import time as _t
+
+        _t.sleep(self.delay_s)
+        n = lr.shape[0]
+        s = 4 * self.scale
+        return np.zeros((n, 1, s, s), np.float32)
+
+
+def test_queue_full_backpressure():
+    """With max_queue_frames set, overload rejects with QueueFullError
+    BEFORE enqueueing: pending frames never exceed the bound, accepted
+    requests complete, and the rejection is counted."""
+    from tactilesr_tpu.server import QueueFullError
+
+    pred = _SlowPredictor(delay_s=0.15)
+    mb = MicroBatcher(pred, max_batch=4, linger_ms=0.5, max_queue_frames=8)
+    try:
+        results, rejected, errors = [], [], []
+        max_seen = [0]
+
+        def call():
+            lr = np.zeros((4, 3, 4, 4), np.float32)
+            try:
+                out = mb.submit(lr)
+                results.append(out.shape)
+            except QueueFullError as e:
+                rejected.append(e)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=call) for _ in range(8)]
+        for t in threads:
+            t.start()
+        # watch the backpressure invariant while the backlog drains
+        for _ in range(200):
+            with mb._close_lock:
+                max_seen[0] = max(max_seen[0], mb._pending_frames)
+            if all(not t.is_alive() for t in threads):
+                break
+            import time as _t
+
+            _t.sleep(0.01)
+        for t in threads:
+            t.join(30)
+        assert not errors
+        assert max_seen[0] <= 8  # the invariant: bounded memory
+        assert rejected, "overload must produce rejections"
+        assert len(results) + len(rejected) == 8
+        assert all(shape == (4, 1, 16, 16) for shape in results)
+        s = mb.snapshot_stats()
+        assert s["rejected_full"] == len(rejected)
+        assert s["queue_depth_frames"] == 0  # fully drained
+        assert s["max_queue_frames"] == 8
+    finally:
+        mb.shutdown()
+
+
+def test_deadline_exceeded_and_abandoned_skip():
+    """A request that misses its deadline raises DeadlineExceededError for
+    the caller AND is dropped by the worker without device time."""
+    from tactilesr_tpu.server import DeadlineExceededError
+
+    pred = _SlowPredictor(delay_s=0.3)
+    mb = MicroBatcher(pred, max_batch=2, linger_ms=0.1, deadline_ms=80)
+    try:
+        lr = np.zeros((2, 3, 4, 4), np.float32)
+        outcomes = []
+
+        def first():
+            try:
+                outcomes.append(("ok", mb.submit(lr).shape))
+            except DeadlineExceededError:
+                outcomes.append(("deadline", None))
+
+        # the first submit occupies the worker for 300 ms > the 80 ms
+        # deadline; the second queues behind it and must ALSO time out,
+        # then be skipped (never dispatched)
+        t1 = threading.Thread(target=first)
+        t1.start()
+        import time as _t
+
+        _t.sleep(0.02)
+        with pytest.raises(DeadlineExceededError, match="deadline"):
+            mb.submit(lr)
+        t1.join(10)
+        assert outcomes == [("deadline", None)]
+        # give the worker time to pop + skip the abandoned second item
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline:
+            if mb.snapshot_stats()["abandoned_skipped"] >= 1:
+                break
+            _t.sleep(0.02)
+        s = mb.snapshot_stats()
+        assert s["deadline_exceeded"] == 2
+        assert s["abandoned_skipped"] >= 1
+        # the second request never reached the device
+        assert sum(pred.calls) <= 2
+        assert s["queue_depth_frames"] == 0
+    finally:
+        mb.shutdown()
+
+
+def test_http_429_and_504_overload_routes(server, rng):
+    """HTTP mapping of the overload paths: 429 + Retry-After when the
+    queue bound is hit, 504 on a missed deadline; /stats reports depth."""
+    srv, base, _, _ = server
+    b = srv.batcher
+    real_predict = b.predictor.predict
+    lr1 = (rng.random((1, 3, 4, 4)) * 4).astype(np.float32)
+
+    def slow_predict(arr):
+        import time as _t
+
+        _t.sleep(0.25)
+        return real_predict(arr)
+
+    try:
+        b.predictor.predict = slow_predict
+        b.max_queue_frames = 2
+        # occupy the worker; its admission budget is held until predict ends
+        occupier = threading.Thread(
+            target=lambda: _post(base + "/predict", _npz(LR=lr1))
+        )
+        occupier.start()
+        import time as _t
+
+        _t.sleep(0.08)  # let it be admitted and dispatched
+        codes = []
+        headers = []
+
+        def poke():
+            try:
+                status, _, _ = _post(base + "/predict", _npz(LR=lr1))
+                codes.append(status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+                headers.append(e.headers.get("Retry-After"))
+
+        pokers = [threading.Thread(target=poke) for _ in range(3)]
+        for t in pokers:
+            t.start()
+        for t in pokers:
+            t.join(30)
+        occupier.join(30)
+        assert 429 in codes, codes
+        assert any(h is not None and int(h) >= 1 for h in headers)
+        with urllib.request.urlopen(base + "/stats") as r:
+            s = json.loads(r.read())
+        assert s["rejected_full"] >= 1
+        assert s["max_queue_frames"] == 2
+
+        # deadline: a fresh request against the still-slow predictor
+        b.max_queue_frames = None
+        b.deadline_s = 0.05
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/predict", _npz(LR=lr1))
+        assert ei.value.code == 504
+        assert "deadline" in json.loads(ei.value.read())["error"]
+    finally:
+        b.predictor.predict = real_predict
+        b.max_queue_frames = None
+        b.deadline_s = None
+        _t.sleep(0.3)  # let abandoned stragglers drain before other tests
