@@ -368,6 +368,14 @@ def main(seqs: int = 1):
                         "15.7 GFLOP/frame fused-graph bf16 roofline (84% "
                         "counting original-graph FLOPs); full numbers in "
                         "RESULTS.md"
+                    )
+                    if seqs == 1
+                    else (
+                        f"fused {seqs}-branch MTSR serving graph; 82% of its "
+                        "16.49 GFLOP/frame bf16 roofline (trunk ~97%; the "
+                        "gap is the lane-padded input branches -- "
+                        "docs/PERF.md); vs_baseline shares the STSR 10k "
+                        "target for scale"
                     ),
                     "timing": "best-of-3 rounds (r1-r2 were single-round; "
                     "the shared tunnel understates single rounds)",
