@@ -515,3 +515,26 @@ def test_http_429_and_504_overload_routes(server, rng):
         b.max_queue_frames = None
         b.deadline_s = None
         _t.sleep(0.3)  # let abandoned stragglers drain before other tests
+
+
+def test_retry_after_estimate():
+    """The 429 Retry-After derives from the recent service rate: backlog /
+    (frames/sec over the dispatch log), clamped to [1, 30]; with no rate
+    info yet it floors at 1."""
+    pred = _SlowPredictor(delay_s=0.01)
+    mb = MicroBatcher(pred, max_batch=4, linger_ms=0.2, max_queue_frames=100)
+    try:
+        assert mb.retry_after_s() == 1  # no dispatches yet
+        # synthesize: 100 frames served over 1 s -> 100 f/s service rate
+        with mb._lock:
+            mb._dispatch_log.extend([(10.0, 100), (11.0, 100)])
+        with mb._close_lock:
+            mb._pending_frames = 500
+        assert mb.retry_after_s() == 5  # 500-frame backlog / 100 f/s
+        with mb._close_lock:
+            mb._pending_frames = 100_000
+        assert mb.retry_after_s() == 30  # clamped
+    finally:
+        with mb._close_lock:
+            mb._pending_frames = 0
+        mb.shutdown()
