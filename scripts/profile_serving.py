@@ -38,6 +38,13 @@ def main() -> int:
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--seqs", type=int, default=1)
+    p.add_argument(
+        "--branch-mode",
+        default="per_seq",
+        choices=("auto", "per_seq", "dense", "grouped", "mixed"),
+        help="MTSR input-branch formulation to profile "
+        "(models/inference.py rewrite 4; the round-5 A/B knob)",
+    )
     args = p.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="sr_trace_")
 
@@ -63,7 +70,10 @@ def main() -> int:
         jax.random.key(0), jnp.zeros((1, 3 * seqs, 4, 4)), train=False
     )
     folded = jax.device_put(
-        fold_inference_params(variables, dtype=jnp.bfloat16, seqs_cnt=seqs)
+        fold_inference_params(
+            variables, dtype=jnp.bfloat16, seqs_cnt=seqs,
+            branch_mode=args.branch_mode,
+        )
     )
     rng = np.random.default_rng(0)
     x = jax.device_put(
@@ -71,7 +81,9 @@ def main() -> int:
     )
 
     def fwd(xx):
-        return tactile_sr_infer(folded, xx, seqs_cnt=seqs)
+        return tactile_sr_infer(
+            folded, xx, seqs_cnt=seqs, branch_mode=args.branch_mode
+        )
 
     out = fwd(x)
     float(jnp.asarray(out[0, 0, 0, 0]))  # compile + sync
@@ -111,7 +123,7 @@ def main() -> int:
     total = sum(d for n, d in dur.items() if n.startswith("jit_"))
     print(f"trace: {paths[-1]}")
     print(
-        f"seqs={args.seqs} batch={args.batch}: "
+        f"seqs={args.seqs} batch={args.batch} branch_mode={args.branch_mode}: "
         f"total device time: {total/it/1e3:.1f} ms/iter over {it} iters"
     )
     if total and flops:

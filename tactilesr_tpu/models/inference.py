@@ -19,6 +19,23 @@ Three exact graph rewrites applied once at load time (host-side, f32):
    (bias rides on one half).  Applied to MSRB's confusion 1x1, the output
    head's first conv, and the multi-sequence branch fuse, removing the
    remaining concats from the hot path.
+4. **Branch batching (MTSR)** -- the S per-sequence input branches are
+   channel-independent: branch ``s`` reads only input channels
+   ``3s..3s+3`` and writes only feature channels ``64s..64s+64``.  Their
+   concat is therefore EXACTLY one convolution with a block-diagonal
+   kernel (zero cross-branch taps -- the same zero-embedding trick as
+   rewrite 2, exact in f32 because the extra taps contribute 0), or
+   equivalently one grouped convolution with ``feature_group_count=S``
+   and no extra taps at all.  ``branch_mode`` selects the formulation:
+   ``per_seq`` (S separate branch stacks, the rewrite-3 layout),
+   ``dense`` (one 3S->64S + one 64S->64S block-diagonal conv),
+   ``grouped`` (the same two convs with ``feature_group_count=S``), or
+   ``mixed`` (dense first conv -- the 3-channel-per-group lane padding is
+   what hurts, and only the first conv suffers it -- grouped second conv,
+   where dense would 7x the dominant FLOPs).  Under any batched mode the
+   branch-fuse conv needs no splitting: it is served as the original
+   single 64S->64 convolution.  A/B measurements on chip are in
+   docs/PERF.md "The fused MTSR graph".
 
 All rewrites are algebraically exact in f32; in bf16 they differ from the
 layer-by-layer graph only by rounding (folded weights are quantized once
@@ -41,11 +58,35 @@ import numpy as np
 from ..ops.resize import resize_bilinear, upsample_bilinear
 
 __all__ = [
+    "BRANCH_MODES",
     "fold_inference_params",
     "fold_inference_params_cnn",
+    "resolve_branch_mode",
     "tactile_sr_infer",
     "tactile_sr_cnn_infer",
 ]
+
+BRANCH_MODES = ("per_seq", "dense", "grouped", "mixed")
+
+
+def resolve_branch_mode(branch_mode: str, seqs_cnt: int) -> str:
+    """Resolve the MTSR branch formulation (module docstring, rewrite 4).
+
+    ``auto`` picks ``grouped`` for multi-sequence graphs -- measured
+    fastest on chip and adds zero FLOPs (docs/PERF.md "The fused MTSR
+    graph", round-5 A/B over all four formulations: 410.4 ms/iter vs
+    416.7 per_seq / 519.8 dense / 410.8 mixed at S=7, B=4096) -- and the
+    canonical ``per_seq`` layout for STSR, where there is nothing to
+    batch (S=1 batching degenerates to the same convs with a different
+    key layout and would only fragment the executable cache)."""
+    if branch_mode == "auto":
+        return "grouped" if seqs_cnt > 1 else "per_seq"
+    if branch_mode not in BRANCH_MODES:
+        raise ValueError(
+            f"branch_mode must be 'auto' or one of {BRANCH_MODES}, "
+            f"got {branch_mode!r}"
+        )
+    return branch_mode
 
 _EPS = 1e-5  # torch BatchNorm2d default, matches models/layers.py
 
@@ -144,41 +185,87 @@ def fold_inference_params(
     pattern_layers: int = 6,
     force_layers: int = 1,
     dtype: Any = jnp.bfloat16,
+    branch_mode: str = "per_seq",
 ) -> dict:
     """Rewrite trained TactileSR variables into the fused serving layout.
 
     Returns a flat dict of arrays already cast to the compute ``dtype``
     (biases and resize weights are stored f32; they are cast to the
     activation dtype at their use sites, see ``_cast_folded``).
+
+    ``branch_mode`` selects the input-branch formulation (module
+    docstring, rewrite 4); the folded key layout differs per mode and
+    must match the ``branch_mode`` passed to :func:`tactile_sr_infer`.
     """
+    branch_mode = resolve_branch_mode(branch_mode, seqs_cnt)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     out: dict[str, np.ndarray] = {}
 
-    def cbr(name):
-        k, b = _fold_bn(
+    def fold_cbr(name):
+        return _fold_bn(
             params[name]["conv"]["kernel"],
             params[name]["conv"].get("bias"),
             params[f"{name}_bn"],
             stats[f"{name}_bn"],
         )
-        out[f"{name}/k"] = k
-        out[f"{name}/b"] = b
 
-    for s in range(seqs_cnt):
-        cbr(f"inputLayer_pattern_{s}_conv0")
-        cbr(f"inputLayer_pattern_{s}_conv1")
+    def cbr(name):
+        out[f"{name}/k"], out[f"{name}/b"] = fold_cbr(name)
 
-    # inputContact reads concat(branch_0..branch_{S-1}); split per branch
     ick, icb = _fold_bn(
         params["inputContact_layer"]["conv"]["kernel"],
         None,
         params["inputContact_layer_bn"],
         stats["inputContact_layer_bn"],
     )
-    for s in range(seqs_cnt):
-        out[f"inputContact/k{s}"] = ick[:, :, s * 64 : (s + 1) * 64, :]
-    out["inputContact/b"] = icb
+    if branch_mode == "per_seq":
+        for s in range(seqs_cnt):
+            cbr(f"inputLayer_pattern_{s}_conv0")
+            cbr(f"inputLayer_pattern_{s}_conv1")
+        # inputContact reads concat(branch_0..branch_{S-1}); split per branch
+        for s in range(seqs_cnt):
+            out[f"inputContact/k{s}"] = ick[:, :, s * 64 : (s + 1) * 64, :]
+        out["inputContact/b"] = icb
+    else:
+        # batch the S branch stacks into two convolutions (rewrite 4).
+        # Branch s maps input channels [3s, 3s+3) to features [64s, 64s+64)
+        # with zero cross-branch taps, so the stack is block-diagonal.
+        folds0 = [fold_cbr(f"inputLayer_pattern_{s}_conv0") for s in range(seqs_cnt)]
+        folds1 = [fold_cbr(f"inputLayer_pattern_{s}_conv1") for s in range(seqs_cnt)]
+        cin = folds0[0][0].shape[2]  # axis_cnt (3)
+
+        def dense0():
+            k0 = np.zeros((3, 3, cin * seqs_cnt, 64 * seqs_cnt), np.float32)
+            for s, (k, _) in enumerate(folds0):
+                k0[:, :, s * cin : (s + 1) * cin, s * 64 : (s + 1) * 64] = k
+            return k0
+
+        def dense1():
+            k1 = np.zeros((3, 3, 64 * seqs_cnt, 64 * seqs_cnt), np.float32)
+            for s, (k, _) in enumerate(folds1):
+                k1[:, :, s * 64 : (s + 1) * 64, s * 64 : (s + 1) * 64] = k
+            return k1
+
+        # grouped kernels stack on the OUTPUT axis only (feature_group_count=S)
+        if branch_mode == "grouped":
+            out["branches/k0"] = np.concatenate([k for k, _ in folds0], axis=-1)
+            out["branches/k1"] = np.concatenate([k for k, _ in folds1], axis=-1)
+        elif branch_mode == "dense":
+            out["branches/k0"] = dense0()
+            out["branches/k1"] = dense1()
+        else:  # mixed: dense conv0 (fills the 3-channel input lanes once,
+            # +0.5 GFLOP/frame of zero taps), grouped conv1 (dense there
+            # would 7x the dominant 64->64 FLOPs -- measured 133 ms/iter,
+            # docs/PERF.md round-5 A/B)
+            out["branches/k0"] = dense0()
+            out["branches/k1"] = np.concatenate([k for k, _ in folds1], axis=-1)
+        out["branches/b0"] = np.concatenate([b for _, b in folds0])
+        out["branches/b1"] = np.concatenate([b for _, b in folds1])
+        # the branch-fuse conv reads the (virtual) concat directly: the
+        # original single 64S->64 kernel, no splitting needed
+        out["inputContact/k"] = ick
+        out["inputContact/b"] = icb
 
     for i in range(pattern_layers):
         _fold_msrb(
@@ -273,13 +360,14 @@ def _msrb_infer(folded: dict, pre: str, x):
     return relu(conf + x)
 
 
-def _conv(x, kernel, bias=None, *, pad: int):
+def _conv(x, kernel, bias=None, *, pad: int, groups: int = 1):
     y = jax.lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(1, 1),
         padding=[(pad, pad)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -294,6 +382,7 @@ def _conv(x, kernel, bias=None, *, pad: int):
         "axis_cnt",
         "pattern_layers",
         "force_layers",
+        "branch_mode",
     ),
 )
 def tactile_sr_infer(
@@ -305,29 +394,45 @@ def tactile_sr_infer(
     axis_cnt: int = 3,
     pattern_layers: int = 6,
     force_layers: int = 1,
+    branch_mode: str = "per_seq",
 ) -> jnp.ndarray:
     """Fused serving forward: (B, seqs*axis, 4, 4) f32 -> (B, 1, 4s, 4s) f32.
 
     Semantics match ``TactileSR.apply(..., train=False)``
     (models/tactile_sr.py:44-98); the graph is the rewritten one described
-    in the module docstring.
+    in the module docstring.  ``branch_mode`` must match the layout the
+    ``folded`` dict was produced with (:func:`fold_inference_params`).
     """
+    branch_mode = resolve_branch_mode(branch_mode, seqs_cnt)
     dt = folded["head1/k"].dtype
     relu = jax.nn.relu
     x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC, f32
 
-    # pattern branches -> split-fused inputContact
-    acc = None
-    for s in range(seqs_cnt):
-        xs = x[..., s * axis_cnt : (s + 1) * axis_cnt]
-        xs = upsample_bilinear(xs, scale_factor).astype(dt)
-        h = relu(_conv(xs, folded[f"inputLayer_pattern_{s}_conv0/k"],
-                       folded[f"inputLayer_pattern_{s}_conv0/b"], pad=1))
-        h = relu(_conv(h, folded[f"inputLayer_pattern_{s}_conv1/k"],
-                       folded[f"inputLayer_pattern_{s}_conv1/b"], pad=1))
-        c = _conv(h, folded[f"inputContact/k{s}"], pad=1)
-        acc = c if acc is None else acc + c
-    pattern = relu(acc + folded["inputContact/b"].astype(acc.dtype))
+    if branch_mode == "per_seq":
+        # pattern branches -> split-fused inputContact
+        acc = None
+        for s in range(seqs_cnt):
+            xs = x[..., s * axis_cnt : (s + 1) * axis_cnt]
+            xs = upsample_bilinear(xs, scale_factor).astype(dt)
+            h = relu(_conv(xs, folded[f"inputLayer_pattern_{s}_conv0/k"],
+                           folded[f"inputLayer_pattern_{s}_conv0/b"], pad=1))
+            h = relu(_conv(h, folded[f"inputLayer_pattern_{s}_conv1/k"],
+                           folded[f"inputLayer_pattern_{s}_conv1/b"], pad=1))
+            c = _conv(h, folded[f"inputContact/k{s}"], pad=1)
+            acc = c if acc is None else acc + c
+        pattern = relu(acc + folded["inputContact/b"].astype(acc.dtype))
+    else:
+        # rewrite 4: all S branches as two convs (upsample is per-channel,
+        # so upsampling the full 3S-channel input == per-branch upsamples)
+        g0 = seqs_cnt if branch_mode == "grouped" else 1
+        g1 = seqs_cnt if branch_mode in ("grouped", "mixed") else 1
+        xs = upsample_bilinear(x, scale_factor).astype(dt)
+        h = relu(_conv(xs, folded["branches/k0"], folded["branches/b0"],
+                       pad=1, groups=g0))
+        h = relu(_conv(h, folded["branches/k1"], folded["branches/b1"],
+                       pad=1, groups=g1))
+        pattern = relu(_conv(h, folded["inputContact/k"],
+                             folded["inputContact/b"], pad=1))
 
     # MSRB trunk (merged stage-1, split confusion)
     for i in range(pattern_layers):

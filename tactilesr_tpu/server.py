@@ -485,6 +485,7 @@ class SRServer(ThreadingHTTPServer):
             "in_channels": p.in_channels,
             "buckets": list(p.buckets),
             "fused": p.fused,
+            "branch_mode": p.branch_mode,
             "checkpoint": self.checkpoint_path,
         }
 
@@ -560,6 +561,11 @@ def _cli():
     )
     p.add_argument("--no-fused", action="store_true")
     p.add_argument(
+        "--branch-mode", default="auto",
+        choices=("auto", "per_seq", "dense", "grouped", "mixed"),
+        help="MTSR input-branch formulation (models/inference.py rewrite 4)",
+    )
+    p.add_argument(
         "--data-parallel", default="off",
         help="shard serving batches over local devices: off|auto|N",
     )
@@ -579,6 +585,7 @@ def _cli():
         fused=not args.no_fused,
         model_arch=args.model_arch,
         mesh=resolve_mesh(args.data_parallel),
+        branch_mode=args.branch_mode,
     )
     print(json.dumps({"serving": f"http://{srv.server_address[0]}:{srv.server_address[1]}"}), flush=True)
     try:

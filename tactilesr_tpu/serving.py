@@ -23,6 +23,7 @@ import numpy as np
 from .models.inference import (
     fold_inference_params,
     fold_inference_params_cnn,
+    resolve_branch_mode,
     tactile_sr_cnn_infer,
     tactile_sr_infer,
 )
@@ -68,6 +69,7 @@ class SRPredictor:
         fused: bool = True,
         model_arch: str = "TactileSR",
         mesh=None,
+        branch_mode: str = "auto",
     ):
         if model_arch not in ("TactileSR", "TactileSRCNN"):
             raise ValueError(f"unknown model_arch {model_arch!r}")
@@ -96,6 +98,9 @@ class SRPredictor:
         self._pattern_layers = pattern_layers
         self._force_layers = force_layers
         self._compute_dtype = compute_dtype
+        # MTSR branch formulation (models/inference.py rewrite 4); resolved
+        # here so /healthz and the fold/infer pair always agree
+        self.branch_mode = resolve_branch_mode(branch_mode, seqs_cnt)
         # data-parallel serving: batches shard over the mesh's data axis,
         # weights replicate; XLA compiles the per-device program, results
         # gather on fetch.  Buckets round up to data-axis multiples so every
@@ -132,6 +137,7 @@ class SRPredictor:
                     axis_cnt=axis_cnt,
                     pattern_layers=pattern_layers,
                     force_layers=force_layers,
+                    branch_mode=self.branch_mode,
                 )
                 self._forward = lambda w, x: tactile_sr_infer(
                     w, x, **infer_kw
@@ -195,6 +201,7 @@ class SRPredictor:
                     pattern_layers=self._pattern_layers,
                     force_layers=self._force_layers,
                     dtype=jnp.dtype(self._compute_dtype),
+                    branch_mode=self.branch_mode,
                 )
         except KeyError as e:
             if not variables.get("batch_stats"):
@@ -315,6 +322,7 @@ def export_stablehlo(
     compute_dtype: str = "bfloat16",
     fused: bool = True,
     model_arch: str = "TactileSR",
+    branch_mode: str = "auto",
 ) -> str:
     """Serialize the SR forward (weights baked in) as a portable StableHLO
     artifact via ``jax.export`` -- loadable by any jax process
@@ -337,6 +345,7 @@ def export_stablehlo(
         buckets=(batch,),
         fused=fused,
         model_arch=model_arch,
+        branch_mode=branch_mode,
     )
     weights = pred._current_weights()
 
@@ -386,6 +395,12 @@ def _cli():
         help="serve through the training graph instead of the fused rewrite",
     )
     p.add_argument(
+        "--branch-mode",
+        default="auto",
+        choices=("auto", "per_seq", "dense", "grouped", "mixed"),
+        help="MTSR input-branch formulation (models/inference.py rewrite 4)",
+    )
+    p.add_argument(
         "--data-parallel",
         default="off",
         help="shard serving batches over local devices: off|auto|N "
@@ -413,6 +428,7 @@ def _cli():
         fused=not args.no_fused,
         model_arch=args.model_arch,
         mesh=resolve_mesh(args.data_parallel),
+        branch_mode=args.branch_mode,
     )
     pred.warmup()
     t0 = time.perf_counter()

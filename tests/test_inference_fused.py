@@ -65,6 +65,145 @@ def test_fused_matches_training_graph_f32(seqs_cnt, pattern_layers, force_layers
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("branch_mode", ["dense", "grouped", "mixed"])
+def test_branch_batched_matches_training_graph_f32(branch_mode):
+    """Rewrite 4 (block-diagonal / grouped branch batching) is exact in f32
+    against the training graph -- zero cross-branch taps contribute 0."""
+    seqs_cnt, pattern_layers, force_layers = 7, 2, 1
+    model = TactileSR(
+        scale_factor=10,
+        seqs_cnt=seqs_cnt,
+        axis_cnt=3,
+        pattern_feature_extra_layer_cnt=pattern_layers,
+        force_feature_extra_layer_cnt=force_layers,
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).random((4, seqs_cnt * 3, 4, 4)).astype(np.float32) * 4
+    )
+    variables = _trained_like_variables(model, jax.random.key(7), x)
+    ref = model.apply(variables, x, train=False)
+    folded = fold_inference_params(
+        variables,
+        seqs_cnt=seqs_cnt,
+        pattern_layers=pattern_layers,
+        force_layers=force_layers,
+        dtype=jnp.float32,
+        branch_mode=branch_mode,
+    )
+    got = tactile_sr_infer(
+        folded,
+        x,
+        scale_factor=10,
+        seqs_cnt=seqs_cnt,
+        axis_cnt=3,
+        pattern_layers=pattern_layers,
+        force_layers=force_layers,
+        branch_mode=branch_mode,
+    )
+    assert got.shape == ref.shape == (4, 1, 40, 40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_branch_batched_matches_per_seq_fold_exactly_f32():
+    """dense/grouped vs the shipped per_seq fold: identical folded weights
+    rearranged, so the three formulations agree to f32 roundoff on the same
+    checkpoint (the parity assertion for the round-5 A/B)."""
+    seqs_cnt = 7
+    model = TactileSR(
+        scale_factor=10, seqs_cnt=seqs_cnt, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=2, force_feature_extra_layer_cnt=1,
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(8).random((3, 21, 4, 4)).astype(np.float32) * 4
+    )
+    variables = _trained_like_variables(model, jax.random.key(8), x)
+    kw = dict(seqs_cnt=seqs_cnt, pattern_layers=2, force_layers=1)
+    outs = {}
+    for mode in ("per_seq", "dense", "grouped", "mixed"):
+        folded = fold_inference_params(
+            variables, dtype=jnp.float32, branch_mode=mode, **kw
+        )
+        outs[mode] = np.asarray(
+            tactile_sr_infer(folded, x, scale_factor=10, axis_cnt=3,
+                             branch_mode=mode, **kw)
+        )
+    np.testing.assert_allclose(outs["dense"], outs["per_seq"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["grouped"], outs["per_seq"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["mixed"], outs["per_seq"], rtol=1e-5, atol=1e-5)
+
+
+def test_branch_mode_resolution_and_fold_structure():
+    from tactilesr_tpu.models.inference import resolve_branch_mode
+
+    assert resolve_branch_mode("auto", 1) == "per_seq"
+    assert resolve_branch_mode("auto", 7) == "grouped"
+    assert resolve_branch_mode("per_seq", 7) == "per_seq"
+    with pytest.raises(ValueError, match="branch_mode"):
+        resolve_branch_mode("blockdiag", 7)
+
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=3, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+        dtype=jnp.float32,
+    )
+    variables = model.init(jax.random.key(9), jnp.zeros((1, 9, 4, 4)), train=False)
+    dense = fold_inference_params(
+        variables, seqs_cnt=3, pattern_layers=1, dtype=jnp.float32,
+        branch_mode="dense",
+    )
+    k0 = np.asarray(dense["branches/k0"])
+    k1 = np.asarray(dense["branches/k1"])
+    assert k0.shape == (3, 3, 9, 192) and k1.shape == (3, 3, 192, 192)
+    # off-diagonal blocks are exactly zero (the exactness argument)
+    assert np.all(k0[:, :, 3:, :64] == 0) and np.all(k0[:, :, :3, 64:] == 0)
+    assert np.all(k1[:, :, 64:, :64] == 0) and np.all(k1[:, :, :64, 64:] == 0)
+    grouped = fold_inference_params(
+        variables, seqs_cnt=3, pattern_layers=1, dtype=jnp.float32,
+        branch_mode="grouped",
+    )
+    g0 = np.asarray(grouped["branches/k0"])
+    assert g0.shape == (3, 3, 3, 192)
+    # the grouped kernel is the dense diagonal, compacted
+    np.testing.assert_array_equal(g0[:, :, :, :64], k0[:, :, :3, :64])
+    np.testing.assert_array_equal(g0[:, :, :, 64:128], k0[:, :, 3:6, 64:128])
+
+
+def test_predictor_branch_mode_auto_mtsr(tmp_path):
+    """SRPredictor resolves auto->dense for seqs>1 and the served output
+    matches the per_seq formulation on the same checkpoint."""
+    from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
+    from tactilesr_tpu.serving import SRPredictor
+
+    model = TactileSR(
+        scale_factor=4, seqs_cnt=3, axis_cnt=3,
+        pattern_feature_extra_layer_cnt=1, force_feature_extra_layer_cnt=1,
+        dtype=jnp.float32,
+    )
+    x4 = jnp.zeros((1, 9, 4, 4))
+    v = jax.device_get(_trained_like_variables(model, jax.random.key(10), x4))
+    path = str(tmp_path / "mtsr.ckpt")
+    save_checkpoint_file(
+        path,
+        {
+            "num_devices": 1,
+            "model": {"params": v["params"], "batch_stats": v["batch_stats"]},
+            "epoch": 0,
+        },
+    )
+    kw = dict(scale_factor=4, seqs_cnt=3, pattern_layers=1, force_layers=1,
+              compute_dtype="float32", buckets=(4,))
+    pred_auto = SRPredictor(path, **kw)
+    assert pred_auto.branch_mode == "grouped"
+    pred_ps = SRPredictor(path, branch_mode="per_seq", **kw)
+    assert pred_ps.branch_mode == "per_seq"
+    x = (np.random.default_rng(11).random((4, 9, 4, 4)) * 4).astype(np.float32)
+    np.testing.assert_allclose(
+        pred_auto.predict(x), pred_ps.predict(x), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_fused_bf16_close_to_bf16_training_graph():
     model = TactileSR(
         scale_factor=10,
