@@ -142,6 +142,11 @@ tactileSR_config = {
     # mean(HR^2), ~zero output variance): logs a WARNING naming the
     # head_init cure after 3 such epochs.  See tasks/sr_task.py::DeadHeadHook.
     "dead_head_check": True,
+    # what the detector does on detection: "warn" (log once, default) or
+    # "reinit" (re-draw ONLY the final head kernel with the scale-
+    # compensated non-negative init, zero its Adam moments, keep training
+    # -- the diagnosed run recovers in place instead of being restarted)
+    "dead_head_action": "warn",
     "inference_test": True,
     "save_dir": os.path.join(root_path, "pth/tactileSR_single"),
     "train_dataset_dir": os.path.join(root_path, "data/SRdataset/SRdataset_train.npz"),

@@ -312,7 +312,14 @@ class Trainer:
                     gsum,
                     grads,
                 )
-                return (gsum, new_bs), (loss_dict, w)
+                # ...and neither do its BN statistics: the padded rows are
+                # B/K duplicates of row 0, and a momentum update from that
+                # degenerate batch would perturb the running stats on the
+                # final step of every non-divisible epoch
+                bs_next = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(w > 0, new, old), bs, new_bs
+                )
+                return (gsum, bs_next), (loss_dict, w)
 
             zeros = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params

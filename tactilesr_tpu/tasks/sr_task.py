@@ -284,7 +284,7 @@ class InferenceHookSR(HookBase):
 
 
 class DeadHeadHook(HookBase):
-    """Runtime detector for the born-dead-head failure mode.
+    """Runtime detector (and optional in-run cure) for the born-dead head.
 
     The pathology (reference's own init + no-warmup recipe,
     /root/reference/model/tactileSR_model.py:92-98 +
@@ -294,20 +294,53 @@ class DeadHeadHook(HookBase):
     mean(HR^2) and SSIM 0 (RESULTS.md "The head-init study" measured
     2x51 such epochs before diagnosis).  The signature is unambiguous:
     train loss within ``rel_tol`` of mean(HR^2) AND eval-mode output
-    variance ~0 on a probe batch.  After ``patience`` consecutive epochs
-    the hook logs an actionable WARNING naming the cure
-    (``head_init: non_negative``, scale-compensated; +4-7 dB in the
-    study) -- it never aborts the run."""
+    variance ~0 on a probe batch.
+
+    ``action`` decides what happens after ``patience`` consecutive such
+    epochs:
+
+    - ``"warn"`` (default): ONE actionable WARNING naming the cure
+      (``head_init: non_negative``, scale-compensated; +4-7 dB in the
+      study).  Never aborts the run.
+    - ``"reinit"``: cure it in place -- re-draw ONLY the final head
+      kernel with the scale-compensated non-negative init (same param
+      tree: the head is a bias-free conv, models/tactile_sr.py:116-124),
+      zero that kernel's Adam moments, and keep training.  The epochs
+      already spent on the trunk are preserved (its weights only moved by
+      weight decay while the head was dead, so they are a valid warm
+      start).  One reinit per run; if the signature ever returns, the
+      hook falls back to the warning.  Under a multi-PROCESS mesh the
+      hook also falls back to warn: it only runs on process 0, and a
+      single-process in-place edit would desynchronize the replicated
+      state (single-process multi-device meshes are fine -- the swapped
+      tree is re-placed with the trainer's replicated sharding).
+
+    ``probe_lr`` must already be sliced to the model's input channels
+    (``seqsCnt * axisCnt``); the probe forward is additionally guarded so
+    a probe failure can never kill the run it is meant to protect."""
 
     priority = 4
 
+    _ACTIONS = ("warn", "reinit")
+
     def __init__(self, probe_lr: np.ndarray, patience: int = 3,
-                 rel_tol: float = 0.05, n_probe: int = 8):
+                 rel_tol: float = 0.05, n_probe: int = 8,
+                 action: str = "warn", head_module: str = "output_conv1",
+                 reinit_seed: int = 0):
+        if action not in self._ACTIONS:
+            raise ValueError(
+                f"dead_head_action must be one of {self._ACTIONS}, got {action!r}"
+            )
         self._probe = np.asarray(probe_lr[:n_probe], np.float32)
         self._patience = patience
         self._rel_tol = rel_tol
+        self._action = action
+        self._head = head_module
+        self._reinit_seed = reinit_seed
         self._streak = 0
         self._warned = False
+        self._reinited = False
+        self._disabled = False
 
     def before_train(self) -> None:
         # the level the loss pins at: mean over the PREPARED labels the
@@ -317,7 +350,7 @@ class DeadHeadHook(HookBase):
         self._hr_var = float(jax.device_get(jnp.var(hr)))
 
     def after_epoch(self) -> None:
-        if self._warned:
+        if self._warned or self._disabled:
             return
         t = self.trainer
         storage = t.metric_storage
@@ -331,30 +364,125 @@ class DeadHeadHook(HookBase):
         if not pinned:
             self._streak = 0
             return
-        out = np.asarray(t.model_apply(jnp.asarray(self._probe), train=False))
+        try:
+            out = np.asarray(t.model_apply(jnp.asarray(self._probe), train=False))
+        except Exception:
+            # a detector must never kill the run it protects (e.g. a probe
+            # whose channels were not sliced to the model's input)
+            self._disabled = True
+            logger.warning(
+                "DeadHeadHook probe forward failed; disabling the detector "
+                "for this run", exc_info=True,
+            )
+            return
         flat = np.var(out) < 1e-4 * max(self._hr_var, 1e-12)
         self._streak = self._streak + 1 if flat else 0
-        if self._streak >= self._patience:
-            self._warned = True
+        if self._streak < self._patience:
+            return
+        if self._action == "reinit" and not self._reinited and self._can_reinit():
+            self._reinit_head(loss)
+            self._streak = 0  # keep monitoring the revived head
+            return
+        self._warned = True
+        logger.warning(
+            "Dead head detected: for %d consecutive epochs the train "
+            "loss has sat at mean(HR^2)=%.4g (loss=%.4g) with ~zero "
+            "output variance (%.3g) on an eval probe -- the model is "
+            "emitting a constant map and will not recover.  This is "
+            "the known born-dead-head init failure (see RESULTS.md "
+            "'The head-init study').  %s",
+            self._patience, self._hr_power, loss, float(np.var(out)),
+            "An in-run reinit was already applied and the head died "
+            "again; restart with `head_init: non_negative`."
+            if self._reinited
+            else "Set `dead_head_action: reinit` to revive it in place, "
+            "or restart with `head_init: non_negative` (config key; "
+            "scale-compensated all-positive final kernel, +4-7 dB in "
+            "the study), e.g. `--head_init non_negative`.",
+        )
+
+    def _can_reinit(self) -> bool:
+        from ..parallel.dist import get_world_size
+
+        if get_world_size() > 1:
             logger.warning(
-                "Dead head detected: for %d consecutive epochs the train "
-                "loss has sat at mean(HR^2)=%.4g (loss=%.4g) with ~zero "
-                "output variance (%.3g) on an eval probe -- the model is "
-                "emitting a constant map and will not recover.  This is "
-                "the known born-dead-head init failure (see RESULTS.md "
-                "'The head-init study').  Restart with `head_init: "
-                "non_negative` (config key; scale-compensated all-positive "
-                "final kernel, +4-7 dB in the study), e.g. "
-                "`--head_init non_negative`.",
-                self._patience, self._hr_power, loss, float(np.var(out)),
+                "DeadHeadHook: action=reinit is not supported under a "
+                "multi-process mesh (the hook runs on process 0 only); "
+                "falling back to the warning"
             )
+            return False
+        return True
+
+    def _reinit_head(self, pinned_loss: float) -> None:
+        """Swap the dead head kernel for a fresh scale-compensated
+        non-negative draw and zero its optimizer moments, in place."""
+        from ..models.layers import non_negative_kaiming_fan_out
+        from ..parallel.mesh import put_global
+
+        t = self.trainer
+        head = self._head
+
+        def path_keys(path):
+            return [getattr(p, "key", getattr(p, "name", None)) for p in path]
+
+        kernel_box = {}
+
+        def swap(path, leaf):
+            keys = path_keys(path)
+            if head in keys and keys[-1] == "kernel":
+                key = jax.random.fold_in(
+                    jax.random.key(self._reinit_seed), t.cur_iter
+                )
+                fresh = non_negative_kaiming_fan_out(
+                    key, np.shape(leaf), jnp.float32
+                ).astype(leaf.dtype)
+                kernel_box["shape"] = tuple(np.shape(leaf))
+                return fresh
+            return leaf
+
+        new_params = jax.tree_util.tree_map_with_path(swap, t.state.params)
+        if "shape" not in kernel_box:
+            self._disabled = True
+            logger.warning(
+                "DeadHeadHook: no %r kernel found in the param tree; "
+                "cannot reinit -- disabling the detector", head,
+            )
+            return
+
+        def zero_moments(path, leaf):
+            # Adam's mu/nu mirror the param tree, so the head's moment
+            # leaves carry its module name in their path; count and any
+            # other global leaves are left alone
+            return jnp.zeros_like(leaf) if head in path_keys(path) else leaf
+
+        new_opt = jax.tree_util.tree_map_with_path(
+            zero_moments, t.state.opt_state
+        )
+        put = lambda x: put_global(x, getattr(t, "_repl", None))
+        t.state = t.state.replace(params=put(new_params), opt_state=put(new_opt))
+        self._reinited = True
+        logger.warning(
+            "Dead head detected at epoch %d (loss pinned at mean(HR^2)=%.4g "
+            "for %d epochs, ~zero probe variance) -- dead_head_action="
+            "reinit: re-drew the %r kernel %s with the scale-compensated "
+            "non-negative init and zeroed its Adam moments; training "
+            "continues on the surviving trunk (RESULTS.md 'in-run head "
+            "revival').",
+            t.cur_epoch, pinned_loss, self._patience, self._head,
+            kernel_box["shape"],
+        )
 
     def state_dict(self) -> dict:
-        return {"streak": self._streak, "warned": self._warned}
+        return {
+            "streak": self._streak,
+            "warned": self._warned,
+            "reinited": self._reinited,
+        }
 
     def load_state_dict(self, state: dict) -> None:
         self._streak = int(state.get("streak", 0))
         self._warned = bool(state.get("warned", False))
+        self._reinited = bool(state.get("reinited", False))
 
 
 def transfer_trunk_params(seqs_variables: dict, single_bundle: dict) -> dict:
@@ -483,7 +611,21 @@ def main(
 
     trainer.register_hooks([EvalHook(1, build_eval_fn(trainer, test_arrays))])
     if config.get("dead_head_check", True) and is_main_process():
-        trainer.register_hooks([DeadHeadHook(test_arrays["LR"])])
+        # slice the probe to the model's input channels (a seqs dataset LR
+        # carries 21 channels even when seqsCnt < 7)
+        probe = test_arrays["LR"][:, : config["seqsCnt"] * config["axisCnt"]]
+        trainer.register_hooks([
+            DeadHeadHook(
+                probe,
+                action=config.get("dead_head_action", "warn"),
+                head_module=(
+                    "output_conv"
+                    if config.get("model_arch", "TactileSR") == "TactileSRCNN"
+                    else "output_conv1"
+                ),
+                reinit_seed=config["random_seed"],
+            )
+        ])
     if config.get("inference_test"):
         from ..parallel.dist import is_main_process
 

@@ -440,6 +440,98 @@ def test_dead_head_hook_warns_on_pinned_constant_output(tmp_path, rng):
     assert "head_init" in dead[0] and "non_negative" in dead[0]
 
 
+def _kill_head(t, head="output_conv1"):
+    """Force the dead-head state on an otherwise-healthy trainer: an
+    all-negative head kernel on ReLU (>=0) input features leaves the
+    pre-activation negative everywhere -- zero gradient, constant-zero
+    output (the seed-3 failure, reproduced surgically)."""
+
+    def kill(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if head in keys and keys[-1] == "kernel":
+            return -jnp.abs(leaf) - 1e-3
+        return leaf
+
+    t.state = t.state.replace(
+        params=jax.tree_util.tree_map_with_path(kill, t.state.params)
+    )
+
+
+def test_dead_head_hook_reinit_recovers_in_run(tmp_path, rng):
+    """dead_head_action=reinit: after `patience` pinned epochs the hook
+    re-draws ONLY the head kernel (scale-compensated non-negative) and
+    zeroes its Adam moments; the SAME run then trains below the pinned
+    mean(HR^2) level -- no restart, trunk epochs preserved."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    lr, hr = _toy_data(rng)
+    cfg = _toy_config(str(tmp_path), lr=3e-3, warmup_t=0)
+    t = _make_trainer(cfg, lr, hr, max_epochs=12)
+    _kill_head(t)
+    t.register_hooks([DeadHeadHook(lr, patience=2, action="reinit")])
+    with _Capture() as cap:
+        t.train(auto_resume=False)
+    revive = [m for m in cap.messages if "re-drew the 'output_conv1' kernel" in m]
+    assert len(revive) == 1, cap.messages
+    hr_power = float(jnp.mean(jnp.square(t.device_arrays["HR"])))
+    final = t.metric_storage["total_loss"].latest
+    assert final < 0.8 * hr_power, (final, hr_power)
+    # warn-once escalation never fired (the head stayed alive after reinit)
+    assert not any("will not recover" in m for m in cap.messages)
+
+
+def test_dead_head_hook_reinit_only_touches_the_head(tmp_path, rng):
+    """The in-place cure must not perturb the trunk: every non-head param
+    and optimizer leaf is bit-identical across the reinit."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    lr, hr = _toy_data(rng)
+    cfg = _toy_config(str(tmp_path), lr=1e-30, warmup_t=0)
+    t = _make_trainer(cfg, lr, hr, max_epochs=3)
+    _kill_head(t)
+    hook = DeadHeadHook(lr, patience=3, action="reinit")
+    t.register_hooks([hook])
+    t.train(auto_resume=False)  # patience hits on the last epoch
+    assert hook._reinited
+
+    # with lr ~0 the trunk params are (numerically) frozen; compare the
+    # head-excluded subtrees of a fresh identical init against the state
+    t2 = _make_trainer(
+        _toy_config(str(tmp_path / "b"), lr=1e-30, warmup_t=0), lr, hr,
+        max_epochs=3,
+    )
+    a = jax.device_get(t.state.params)
+    b = jax.device_get(t2.state.params)
+    for name in a:
+        if name == "output_conv1":
+            continue
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=0, atol=5e-7),
+            a[name], b[name],
+        )
+
+
+def test_dead_head_hook_probe_failure_disables_not_kills(tmp_path, rng):
+    """ADVICE r4: a probe whose channels don't match the model (21-ch seqs
+    LR against a 3-ch model) must disable the detector with a warning, not
+    crash the training run it protects."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    t = _dead_trainer(tmp_path, rng, check=False)
+    bad_probe = np.random.default_rng(0).random((8, 21, 4, 4)).astype(np.float32)
+    t.register_hooks([DeadHeadHook(bad_probe, patience=1)])
+    with _Capture() as cap:
+        t.train(auto_resume=False)  # must complete
+    assert any("probe forward failed" in m for m in cap.messages)
+
+
+def test_dead_head_hook_rejects_unknown_action():
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    with pytest.raises(ValueError, match="dead_head_action"):
+        DeadHeadHook(np.zeros((1, 3, 4, 4), np.float32), action="restart")
+
+
 def test_dead_head_hook_quiet_on_healthy_run(tmp_path, rng):
     """A normal training run (params alive, loss leaves mean(HR^2)) must
     never trip the detector."""

@@ -128,7 +128,41 @@ def test_accum_micro_batch_divisibility_guard(tmp_path, rng):
         _linear_trainer(tmp_path, X, Y, batch_size=8, grad_accum=3)
 
 
-def test_accum_bn_model_trains(tmp_path, rng):
+class _BNCountTrainer(Trainer):
+    """batch_stats is a counter: +1 per train_cal_loss call whose stats
+    update is COMMITTED -- exposes which micro-batches touch BN state."""
+
+    def train_cal_loss(self, params, batch_stats, batch):
+        pred = batch["X"] @ params["w"]
+        loss = masked_mse(pred, batch["Y"], batch["mask"])
+        return loss, {"loss": loss}, {"count": batch_stats["count"] + 1.0}
+
+
+def test_accum_all_padded_micro_batch_keeps_batch_stats(tmp_path, rng):
+    """ADVICE r4: a fully-padded micro-batch (every row a duplicate of
+    sample 0) is excluded from gradients AND from the batch_stats update
+    -- its degenerate statistics must not touch the running stats."""
+    X, Y = _linear_data(rng, n=10)  # B=8, K=4 -> final step: [2 valid, 0, 0, 0]
+    n = X.shape[0]
+    w0 = np.linspace(-0.5, 0.5, X.shape[1]).astype(np.float32)
+    sched = LRWarmupSchedule(StepLR(1e-2, 1, 0.9), by_epoch=True, epoch_len=2)
+    t = _BNCountTrainer(
+        model=None,
+        variables={"params": {"w": w0}, "batch_stats": {"count": np.zeros(())}},
+        tx=adam_l2(),
+        lr_schedule=sched,
+        train_arrays={"X": X, "Y": Y},
+        batch_size=8,
+        max_epochs=1,
+        work_dir=str(tmp_path),
+        seed=7,
+        grad_accum=4,
+    )
+    t.train(auto_resume=False)
+    count = float(jax.device_get(t.state.batch_stats["count"]))
+    # 2 steps x 4 micro-batches = 8 calls, but only 5 carry valid rows
+    # (step 1: 4x2 rows; step 2: 2 valid rows in the first micro-batch)
+    assert count == 5.0, count
     """The real SR model (BatchNorm): accumulation trains comparably.
     Exact parity is NOT expected -- train-mode BN normalizes each
     micro-batch by its own statistics and running stats see K momentum
