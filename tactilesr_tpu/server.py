@@ -26,7 +26,9 @@ Endpoints
   (N, C, 4, 4) (``Content-Type: application/x-npz``, the default) or JSON
   ``{"lr": [...]}``;  response mirrors the request format with ``SR``.
   Under overload: 429 + ``Retry-After`` once ``max_queue_frames`` pending
-  frames are queued (backpressure, rejected before enqueue), 504 when a
+  frames are queued (backpressure, rejected before enqueue), 413 when a
+  single request exceeds ``max_queue_frames`` by itself (never
+  admissible -- no Retry-After, split the request instead), 504 when a
   request misses its ``deadline_ms`` (the queued item is abandoned and
   costs no device time).
 - ``POST /reload``   — JSON ``{"checkpoint": path}``; hot-swaps weights
@@ -54,6 +56,7 @@ __all__ = [
     "SRServer",
     "create_server",
     "QueueFullError",
+    "RequestTooLargeError",
     "DeadlineExceededError",
 ]
 
@@ -68,6 +71,15 @@ class QueueFullError(RuntimeError):
     Raised by ``submit`` BEFORE enqueueing, so a rejected request costs the
     server nothing but the shape check.  HTTP maps this to 429 with a
     Retry-After estimate."""
+
+
+class RequestTooLargeError(ValueError):
+    """The single request exceeds max_queue_frames BY ITSELF.
+
+    Distinct from :class:`QueueFullError` because retrying can never
+    succeed -- even an idle server cannot admit it.  A client implementing
+    honest backoff must split the request instead of waiting, so HTTP maps
+    this to 413 (no Retry-After)."""
 
 
 class DeadlineExceededError(RuntimeError):
@@ -135,6 +147,7 @@ class MicroBatcher:
             "batches": 0,
             "max_coalesced_requests": 0,
             "rejected_full": 0,
+            "rejected_too_large": 0,
             "deadline_exceeded": 0,
             "abandoned_skipped": 0,
         }
@@ -157,6 +170,16 @@ class MicroBatcher:
                 f"expected (N>=1, {c}, 4, 4) readings, got {lr.shape}"
             )
         n = lr.shape[0]
+        if self.max_queue_frames is not None and n > self.max_queue_frames:
+            # never admissible, even against an empty queue: a retry can't
+            # succeed, so don't dress it up as backpressure
+            with self._lock:
+                self.stats["rejected_too_large"] += 1
+            raise RequestTooLargeError(
+                f"request of {n} frames exceeds max_queue_frames="
+                f"{self.max_queue_frames} by itself; split it into "
+                f"<= {self.max_queue_frames}-frame requests"
+            )
         item = _Pending(lr)
         with self._close_lock:
             if self._closed:
@@ -411,6 +434,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             sr = self.server.batcher.submit(lr)
+        except RequestTooLargeError as e:  # oversized even for an idle queue
+            # 413, not 429: no Retry-After because no retry can succeed
+            self._send_json(413, {"error": str(e)})
+            return
         except ValueError as e:  # shape validation
             self._send_json(400, {"error": str(e)})
             return

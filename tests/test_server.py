@@ -517,6 +517,49 @@ def test_http_429_and_504_overload_routes(server, rng):
         _t.sleep(0.3)  # let abandoned stragglers drain before other tests
 
 
+def test_oversized_request_on_idle_queue_is_413_not_429():
+    """VERDICT r4 weak-3: a single request with n > max_queue_frames can
+    NEVER be admitted, even against an empty queue -- it must raise
+    RequestTooLargeError (HTTP 413, no Retry-After), not the retryable
+    QueueFullError, and it must not consume admission budget."""
+    from tactilesr_tpu.server import RequestTooLargeError
+
+    pred = _SlowPredictor(delay_s=0.01)
+    mb = MicroBatcher(pred, max_batch=4, linger_ms=0.2, max_queue_frames=8)
+    try:
+        lr = np.zeros((9, 3, 4, 4), np.float32)  # 9 > 8, queue idle
+        with pytest.raises(RequestTooLargeError, match="split it"):
+            mb.submit(lr)
+        s = mb.snapshot_stats()
+        assert s["rejected_too_large"] == 1
+        assert s["rejected_full"] == 0
+        assert s["queue_depth_frames"] == 0
+        # an exactly-bound-sized request IS admissible on an idle queue
+        out = mb.submit(np.zeros((8, 3, 4, 4), np.float32))
+        assert out.shape == (8, 1, 16, 16)
+    finally:
+        mb.shutdown()
+
+
+def test_http_413_oversized_request_route(server, rng):
+    """HTTP mapping: oversized-by-itself -> 413 with no Retry-After header,
+    against an idle server."""
+    srv, base, _, _ = server
+    b = srv.batcher
+    lr = (rng.random((3, 3, 4, 4)) * 4).astype(np.float32)
+    try:
+        b.max_queue_frames = 2
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/predict", _npz(LR=lr))
+        assert ei.value.code == 413
+        assert ei.value.headers.get("Retry-After") is None
+        assert "split it" in json.loads(ei.value.read())["error"]
+        with urllib.request.urlopen(base + "/stats") as r:
+            assert json.loads(r.read())["rejected_too_large"] >= 1
+    finally:
+        b.max_queue_frames = None
+
+
 def test_retry_after_estimate():
     """The 429 Retry-After derives from the recent service rate: backlog /
     (frames/sec over the dispatch log), clamped to [1, 30]; with no rate
