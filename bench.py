@@ -19,6 +19,21 @@ the tunnel's round-trip latency the same way a production serving loop does.
 Small-bucket latency medians therefore INCLUDE one tunnel round-trip -- they
 are an upper bound on device latency.  A small-op drain poll runs first so a
 backlogged relay doesn't pollute the numbers.
+
+Timing policy (round-3 advisor note, kept permanent): each throughput
+number is the BEST of 3 interleaved rounds, because the axon tunnel is
+shared and a neighbor's burst in one round would understate the machine's
+capability; ``vs_baseline`` then divides that best-of-3 by the FIXED
+10,000 f/s target from BASELINE.md (never by a co-measured quantity), so
+round-to-round comparisons of the headline stay apples-to-apples even
+though a single unlucky round could not be retried against a moving
+denominator.
+
+The default run also measures the MTSR (seqs=7) serving graph and the
+B=256 training step and reports them as numeric ``extras``
+(``mtsr_frames_per_sec``, ``train_samples_per_sec``) so BENCH_rN.json
+carries the full perf surface machine-readably; ``--seqs 7`` / ``--train``
+remain the standalone deep benchmarks.
 """
 
 import json
@@ -127,12 +142,9 @@ def device_latency_ms(forward, x, jax, jnp, iters: int = 20):
     return round(total_us / iters / 1e3, 3)
 
 
-def bench_train():
-    """Secondary benchmark: training throughput (samples/sec) of the full
-    STSR train step (fwd+bwd+Adam+BN update), vs the reference's measured
-    torch-CPU rate at B=32 on this machine (see
-    scripts/measure_ref_baseline.py for the provenance of ``ref_cpu``)."""
-    require_device()
+def _train_sps(batch: int, steps: int = 24) -> float:
+    """Samples/sec of the full STSR train step (fwd+bwd+Adam+BN update) at
+    ``batch``, epoch-scan mode: one compile+warm epoch, one measured epoch."""
     import jax
     import jax.numpy as jnp
 
@@ -146,34 +158,46 @@ def bench_train():
 
     setup_logger("tactilesr_tpu", stream=sys.stderr)
 
-    wait_for_quiet(jnp, jax)
     rng = np.random.default_rng(0)
+    cfg = dict(tactileSR_config)
+    cfg.update(save_dir=f"/tmp/bench_train_{batch}", train_batch_size=batch, warmup_t=0)
+    n = batch * steps
+    lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
+    hr = (rng.random((n, 1, 100, 100)) * 50).astype(np.float32)
+    model = build_model(cfg)
+    v = jax.device_get(model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False))
+    tr = SRTrainer(
+        config=cfg, model=model,
+        variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+        tx=adam_l2(weight_decay=1e-2),
+        lr_schedule=LRWarmupSchedule(StepLR(1e-3, 2, 0.8), by_epoch=True, epoch_len=steps),
+        train_arrays={"LR": lr, "HR": hr}, batch_size=batch, max_epochs=2,
+        work_dir=cfg["save_dir"], scan_epochs=True,
+    )
+    tr._epoch_scan = tr._build_epoch_scan()
+    tr.train_one_epoch_scan()  # compile + warm epoch
+    tr.cur_iter = tr.epoch_len
+    t0 = time.perf_counter()
+    tr.train_one_epoch_scan()  # one full epoch = one device dispatch
+    dt = (time.perf_counter() - t0) / tr.epoch_len
+    sps = batch / dt
+    log(f"train B={batch}: {dt*1e3:.1f} ms/step -> {sps:,.0f} samples/s")
+    return sps
+
+
+def bench_train():
+    """Secondary benchmark: training throughput (samples/sec) of the full
+    STSR train step (fwd+bwd+Adam+BN update), vs the reference's measured
+    torch-CPU rate at B=32 on this machine (see
+    scripts/measure_ref_baseline.py for the provenance of ``ref_cpu``)."""
+    require_device()
+    import jax
+    import jax.numpy as jnp
+
+    wait_for_quiet(jnp, jax)
     best = (0.0, 0)
     for batch in (32, 256):
-        cfg = dict(tactileSR_config)
-        cfg.update(save_dir=f"/tmp/bench_train_{batch}", train_batch_size=batch, warmup_t=0)
-        steps = 24
-        n = batch * steps
-        lr = (rng.random((n, 3, 4, 4)) * 4).astype(np.float32)
-        hr = (rng.random((n, 1, 100, 100)) * 50).astype(np.float32)
-        model = build_model(cfg)
-        v = jax.device_get(model.init(jax.random.key(0), jnp.zeros((1, 3, 4, 4)), train=False))
-        tr = SRTrainer(
-            config=cfg, model=model,
-            variables={"params": v["params"], "batch_stats": v.get("batch_stats", {})},
-            tx=adam_l2(weight_decay=1e-2),
-            lr_schedule=LRWarmupSchedule(StepLR(1e-3, 2, 0.8), by_epoch=True, epoch_len=steps),
-            train_arrays={"LR": lr, "HR": hr}, batch_size=batch, max_epochs=2,
-            work_dir=cfg["save_dir"], scan_epochs=True,
-        )
-        tr._epoch_scan = tr._build_epoch_scan()
-        tr.train_one_epoch_scan()  # compile + warm epoch
-        tr.cur_iter = tr.epoch_len
-        t0 = time.perf_counter()
-        tr.train_one_epoch_scan()  # one full epoch = one device dispatch
-        dt = (time.perf_counter() - t0) / tr.epoch_len
-        sps = batch / dt
-        log(f"train B={batch}: {dt*1e3:.1f} ms/step -> {sps:,.0f} samples/s")
+        sps = _train_sps(batch)
         if sps > best[0]:
             best = (sps, batch)
     ref_cpu = 1.72  # reference torch-CPU samples/s at B=32 (conservative max
@@ -262,19 +286,14 @@ def bench_tpsf(batch: int = 1024, precision: str = "highest", tile: int = 8):
     )
 
 
-def main(seqs: int = 1):
-    dev = require_device()
-    import jax
-    import jax.numpy as jnp
-
+def _build_forward(seqs: int, jax, jnp):
+    """Init + fold the fused serving forward for ``seqs`` frames (auto
+    branch mode: per_seq for STSR, grouped for MTSR -- docs/PERF.md)."""
     from tactilesr_tpu.models.inference import (
         fold_inference_params,
         tactile_sr_infer,
     )
     from tactilesr_tpu.models.tactile_sr import TactileSR
-
-    log(f"device: {dev}")
-    wait_for_quiet(jnp, jax)
 
     chans = 3 * seqs
     model = TactileSR(
@@ -285,42 +304,66 @@ def main(seqs: int = 1):
         force_feature_extra_layer_cnt=1,
         dtype=jnp.bfloat16,
     )
-    rng = np.random.default_rng(0)
     t0 = time.time()
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, chans, 4, 4)), train=False
     )
     folded = jax.device_put(
-        fold_inference_params(variables, dtype=jnp.bfloat16, seqs_cnt=seqs)
+        fold_inference_params(
+            variables, dtype=jnp.bfloat16, seqs_cnt=seqs, branch_mode="auto"
+        )
     )
-    log(f"init+fold: {time.time()-t0:.1f}s")
+    log(f"init+fold (seqs={seqs}): {time.time()-t0:.1f}s")
 
     def forward(x):
-        return tactile_sr_infer(folded, x, seqs_cnt=seqs)
+        return tactile_sr_infer(folded, x, seqs_cnt=seqs, branch_mode="auto")
+
+    return forward, chans
+
+
+def _pipelined_fps(forward, x, jnp, batch: int, iters: int, rounds: int) -> float:
+    """Best-of-``rounds`` pipelined throughput (frames/s) -- see the
+    module docstring's timing policy."""
+    out = forward(x)
+    float(jnp.asarray(out[0, 0, 0, 0]))  # compile + warm
+    fps = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward(x)
+        float(jnp.asarray(out[0, 0, 0, 0]))  # drain the pipeline
+        dt = time.perf_counter() - t0
+        fps = max(fps, batch * iters / dt)
+        log(
+            f"batch {batch}: {batch*iters/dt:,.0f} frames/s"
+            f" ({dt/iters*1e3:.2f} ms/iter)"
+        )
+    return fps
+
+
+def main(seqs: int = 1):
+    dev = require_device()
+    import jax
+    import jax.numpy as jnp
+
+    log(f"device: {dev}")
+    wait_for_quiet(jnp, jax)
+
+    rng = np.random.default_rng(0)
+    forward, chans = _build_forward(seqs, jax, jnp)
 
     best_fps = 0.0
     best_batch = 0
-    for batch in (2048, 4096, 8192):
+    # MTSR (grouped branch batching) materializes (B,40,40,448) bf16
+    # intermediates -- ~11.7 GB each at B=8192, a compile-time OOM on one
+    # v5e; B=4096 is its measured sweet spot (docs/PERF.md round-5)
+    for batch in (2048, 4096, 8192) if seqs == 1 else (2048, 4096):
         x = jax.device_put(rng.random((batch, chans, 4, 4)).astype(np.float32))
         t0 = time.time()
-        out = forward(x)
-        float(jnp.asarray(out[0, 0, 0, 0]))  # true sync (compile + warm)
-        log(f"batch {batch}: compile+warm {time.time()-t0:.1f}s")
-        iters = 12
         # best of 3 rounds: the axon tunnel is shared, and a neighbor's
         # burst during one round would understate the machine's capability
-        fps = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = forward(x)
-            float(jnp.asarray(out[0, 0, 0, 0]))  # drain the pipeline
-            dt = time.perf_counter() - t0
-            fps = max(fps, batch * iters / dt)
-            log(
-                f"batch {batch}: {batch*iters/dt:,.0f} frames/s"
-                f" ({dt/iters*1e3:.2f} ms/iter)"
-            )
+        fps = _pipelined_fps(forward, x, jnp, batch, iters=12, rounds=3)
+        log(f"batch {batch}: done in {time.time()-t0:.1f}s incl. compile")
         if fps > best_fps:
             best_fps, best_batch = fps, batch
 
@@ -350,6 +393,18 @@ def main(seqs: int = 1):
             log(f"device latency B={batch}: {d} ms/dispatch (trace)")
 
     log(f"best: batch {best_batch} -> {best_fps:,.0f} frames/s")
+
+    # the full perf surface, machine-readable (default run only): the MTSR
+    # serving headline and the B=256 training sweet spot as numbers, so a
+    # round-over-round diff of BENCH_rN.json sees them without parsing prose
+    perf_extras = {}
+    if seqs == 1:
+        fwd7, chans7 = _build_forward(7, jax, jnp)
+        x7 = jax.device_put(rng.random((4096, chans7, 4, 4)).astype(np.float32))
+        perf_extras["mtsr_frames_per_sec"] = round(
+            _pipelined_fps(fwd7, x7, jnp, 4096, iters=8, rounds=2), 1
+        )
+        perf_extras["train_samples_per_sec"] = round(_train_sps(256), 1)
     print(
         json.dumps(
             {
@@ -371,14 +426,16 @@ def main(seqs: int = 1):
                     )
                     if seqs == 1
                     else (
-                        f"fused {seqs}-branch MTSR serving graph; 82% of its "
+                        f"fused {seqs}-branch MTSR serving graph, "
+                        "branch_mode=auto (grouped: round-5 measured A/B, "
+                        "docs/PERF.md 'branch-batching'); 84% of its "
                         "16.49 GFLOP/frame bf16 roofline (trunk ~97%; the "
-                        "gap is the lane-padded input branches -- "
-                        "docs/PERF.md); vs_baseline shares the STSR 10k "
-                        "target for scale"
+                        "rest is the HBM-bound branch stage); vs_baseline "
+                        "shares the STSR 10k target for scale"
                     ),
-                    "timing": "best-of-3 rounds (r1-r2 were single-round; "
-                    "the shared tunnel understates single rounds)",
+                    "timing": "best-of-3 rounds vs the FIXED 10k baseline "
+                    "(module docstring timing policy)",
+                    **perf_extras,
                     "latency": {
                         "end_to_end_ms_median": latency_ms,
                         "device_ms_per_dispatch_trace": device_ms,

@@ -179,6 +179,12 @@ def main():
     ap.add_argument("--max-queue-frames", type=int, default=2048)
     ap.add_argument("--deadline-ms", type=float, default=2000.0)
     ap.add_argument("--skip-overload", action="store_true")
+    ap.add_argument(
+        "--sweep-linger", action="store_true",
+        help="sensitivity study: re-run the concurrent phases at linger "
+        "windows 0.5/2/5/10 ms (hot server, batcher linger mutated "
+        "between phases) -- the docs/PERF.md round-5 table",
+    )
     args = ap.parse_args()
 
     from tactilesr_tpu.server import create_server
@@ -212,6 +218,18 @@ def main():
     results["max_coalesced_requests_overall"] = stats(url)[
         "max_coalesced_requests"
     ]
+    if args.sweep_linger:
+        sweep = {}
+        for ms in (0.5, 2.0, 5.0, 10.0):
+            srv.batcher.linger_s = ms / 1e3
+            sweep[f"{ms}ms"] = {
+                f"{args.clients}x1frame": run_phase(url, args.clients, 10, 1, rng),
+                f"{max(args.clients // 4, 1)}x8frames": run_phase(
+                    url, max(args.clients // 4, 1), 10, 8, rng
+                ),
+            }
+        srv.batcher.linger_s = args.linger_ms / 1e3
+        results["linger_sweep"] = sweep
     if not args.skip_overload:
         # arrival >> service: 64 clients x 64-frame requests back-to-back
         results["overload_bounded_queue"] = run_overload(

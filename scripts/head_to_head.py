@@ -503,6 +503,7 @@ def run_ours(args) -> list:
         # parity-grade precision
         matmul_precision=args.matmul_precision,
         head_init=args.head_init,
+        dead_head_action=args.dead_head_action,
     )
     records = _capture_our_log()
     trainer = sr_main(cfg)
@@ -999,6 +1000,7 @@ def run_ours_mtsr(args) -> list:
         data_parallel="off",
         matmul_precision=args.matmul_precision,
         head_init=args.head_init,
+        dead_head_action=args.dead_head_action,
     )
     records = _capture_our_log()
     trainer = sr_main(cfg, seqs=True)
@@ -1262,6 +1264,12 @@ def main() -> None:
         "reference side always trains its own exact init, so this only "
         "affects run_ours (used to demo the dead-head cure on the seed "
         "that drew it)",
+    )
+    p.add_argument(
+        "--dead-head-action",
+        default="warn",
+        help="ours-side dead_head_action knob (warn|reinit); used to demo "
+        "the in-run head revival on the seed that drew a dead head",
     )
     p.add_argument("--skip-datagen", action="store_true")
     p.add_argument(

@@ -107,7 +107,10 @@ def build_eval_fn(trainer: TPSFTrainer, test_arrays: Dict[str, np.ndarray]):
 
     def eval_func() -> Dict[str, float]:
         mse, ssim_v = jax.device_get(eval_all(trainer.state.params))
-        logger.info("mse_loss_ave:%s, ssim_ave:%s", float(mse), float(ssim_v))
+        # fixed precision, not repr(float): a 17-significant-digit float in
+        # this line is what a fixed-size log-tail window cuts mid-number,
+        # leaving a bare digit-run that reads like stray output
+        logger.info("mse_loss_ave:%.6g, ssim_ave:%.6g", float(mse), float(ssim_v))
         return {"Eval Metric": float(mse), "eval_ssim": float(ssim_v)}
 
     return eval_func
