@@ -532,6 +532,75 @@ def test_dead_head_hook_rejects_unknown_action():
         DeadHeadHook(np.zeros((1, 3, 4, 4), np.float32), action="restart")
 
 
+def test_dead_head_hook_second_death_escalates_to_warning(tmp_path, rng):
+    """Recovery is once-per-run: a head that pins again after a reinit
+    gets the warning (naming the already-applied reinit), not another
+    silent re-draw."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    lr, hr = _toy_data(rng)
+    cfg = _toy_config(str(tmp_path), lr=1e-30, warmup_t=0)
+    t = _make_trainer(cfg, lr, hr, max_epochs=8)
+    t.state = t.state.replace(
+        params=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), t.state.params)
+    )  # whole net dead: a head reinit alone cannot revive it (lr ~0 too)
+    hook = DeadHeadHook(lr, patience=2, action="reinit")
+    t.register_hooks([hook])
+    with _Capture() as cap:
+        t.train(auto_resume=False)
+    assert hook._reinited  # first detection applied the in-place cure
+    died_again = [m for m in cap.messages if "died again" in m]
+    assert len(died_again) == 1, cap.messages  # second detection escalates once
+
+
+def test_dead_head_hook_reinit_missing_head_module_disables(tmp_path, rng):
+    """A head_module name absent from the param tree cannot be cured;
+    the hook disables itself with a warning instead of looping."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    t = _dead_trainer(tmp_path, rng, check=False)
+    hook = DeadHeadHook(
+        t.device_arrays["LR"][:4], patience=1, action="reinit",
+        head_module="no_such_module",
+    )
+    t.register_hooks([hook])
+    with _Capture() as cap:
+        t.train(auto_resume=False)
+    assert hook._disabled
+    assert any("cannot reinit" in m for m in cap.messages)
+
+
+def test_dead_head_hook_reinit_multiprocess_falls_back_to_warn(
+    tmp_path, rng, monkeypatch
+):
+    """Under a multi-process mesh the proc-0-only hook must not edit the
+    replicated state; reinit falls back to the warning."""
+    import tactilesr_tpu.parallel.dist as dist_mod
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    t = _dead_trainer(tmp_path, rng, check=False)
+    monkeypatch.setattr(dist_mod, "get_world_size", lambda: 2)
+    hook = DeadHeadHook(t.device_arrays["LR"][:4], patience=2, action="reinit")
+    t.register_hooks([hook])
+    with _Capture() as cap:
+        t.train(auto_resume=False)
+    assert not hook._reinited
+    assert any("not supported under a multi-process mesh" in m for m in cap.messages)
+    assert any("Dead head detected" in m for m in cap.messages)  # warn path
+
+
+def test_dead_head_hook_no_metrics_is_a_noop(tmp_path, rng):
+    """after_epoch before any loss was logged must return quietly."""
+    from tactilesr_tpu.tasks.sr_task import DeadHeadHook
+
+    lr, hr = _toy_data(rng)
+    t = _make_trainer(_toy_config(str(tmp_path)), lr, hr, max_epochs=1)
+    hook = DeadHeadHook(lr, patience=1)
+    t.register_hooks([hook])
+    hook.after_epoch()  # storage has no "total_loss" yet
+    assert hook._streak == 0 and not hook._warned
+
+
 def test_dead_head_hook_quiet_on_healthy_run(tmp_path, rng):
     """A normal training run (params alive, loss leaves mean(HR^2)) must
     never trip the detector."""
