@@ -589,6 +589,41 @@ def test_dead_head_hook_reinit_multiprocess_falls_back_to_warn(
     assert any("Dead head detected" in m for m in cap.messages)  # warn path
 
 
+def test_dead_head_registration_uses_cnn_head_module(tmp_path, rng, monkeypatch):
+    """sr_task.main wires the architecture's own head name into the hook
+    (TactileSRCNN ends in 'output_conv', not 'output_conv1') and slices
+    the probe to the model's input channels."""
+    from tactilesr_tpu.tasks import sr_task
+
+    captured = {}
+    orig = sr_task.DeadHeadHook
+
+    class Spy(orig):
+        def __init__(self, probe_lr, **kw):
+            captured["kw"] = dict(kw)
+            captured["probe_channels"] = np.asarray(probe_lr).shape[1]
+            super().__init__(probe_lr, **kw)
+
+    monkeypatch.setattr(sr_task, "DeadHeadHook", Spy)
+
+    lr, hr = _toy_data(rng)
+    train_npz = str(tmp_path / "train.npz")
+    test_npz = str(tmp_path / "test.npz")
+    np.savez(train_npz, LR=lr, HR=hr)
+    np.savez(test_npz, LR=lr[:4], HR=hr[:4])
+    cfg = _toy_config(
+        str(tmp_path),
+        model_arch="TactileSRCNN",
+        train_dataset_dir=train_npz,
+        test_dataset_dir=test_npz,
+        dead_head_action="reinit",
+    )
+    sr_task.main(cfg, max_epochs=1)
+    assert captured["kw"]["head_module"] == "output_conv"
+    assert captured["kw"]["action"] == "reinit"
+    assert captured["probe_channels"] == 3
+
+
 def test_dead_head_hook_no_metrics_is_a_noop(tmp_path, rng):
     """after_epoch before any loss was logged must return quietly."""
     from tactilesr_tpu.tasks.sr_task import DeadHeadHook
