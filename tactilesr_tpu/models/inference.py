@@ -30,9 +30,10 @@ Three exact graph rewrites applied once at load time (host-side, f32):
    ``per_seq`` (S separate branch stacks, the rewrite-3 layout),
    ``dense`` (one 3S->64S + one 64S->64S block-diagonal conv),
    ``grouped`` (the same two convs with ``feature_group_count=S``), or
-   ``mixed`` (dense first conv -- the 3-channel-per-group lane padding is
-   what hurts, and only the first conv suffers it -- grouped second conv,
-   where dense would 7x the dominant FLOPs).  Under any batched mode the
+   ``mixed`` (dense first conv, where the zero-tap overhead is small --
+   +0.23 GFLOP/frame -- and grouped second, where dense would 7x the
+   dominant FLOPs; measured a tie with grouped).  Under any batched mode
+   the
    branch-fuse conv needs no splitting: it is served as the original
    single 64S->64 convolution.  A/B measurements on chip are in
    docs/PERF.md "The fused MTSR graph".
