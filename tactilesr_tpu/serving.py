@@ -37,6 +37,12 @@ logger = logging.getLogger("tactilesr_tpu")
 
 DEFAULT_BUCKETS = (1, 8, 64, 256, 1024)
 
+# bucket-aware "auto" branch-mode crossover for MTSR serving: measured
+# device latencies (docs/PERF.md round-5) have per_seq faster below this
+# bucket (B=1: 0.192 vs 0.339 ms; B=64: 7.35 vs 8.73) and grouped faster
+# at and above it (B=4096: 410.4 vs 416.7 ms/iter)
+BRANCH_GROUPED_MIN_BUCKET = 256
+
 
 def _tree_spec(tree):
     """{leaf: (shape, dtype)} fingerprint used to validate hot-swapped
@@ -98,9 +104,28 @@ class SRPredictor:
         self._pattern_layers = pattern_layers
         self._force_layers = force_layers
         self._compute_dtype = compute_dtype
-        # MTSR branch formulation (models/inference.py rewrite 4); resolved
-        # here so /healthz and the fold/infer pair always agree
-        self.branch_mode = resolve_branch_mode(branch_mode, seqs_cnt)
+        # MTSR branch formulation (models/inference.py rewrite 4).  Unlike
+        # the bare fold/infer API (whose "auto" is one mode), the predictor
+        # compiles per-bucket executables, so "auto" here chooses PER
+        # BUCKET from the measured crossover (docs/PERF.md round-5 device
+        # latencies: per_seq wins small dispatches -- B=1 0.192 vs
+        # 0.339 ms, B=64 7.35 vs 8.73 -- grouped wins B>=256): small
+        # buckets serve per_seq, large ones grouped.  An explicit
+        # branch_mode pins every bucket to that mode.
+        if branch_mode == "auto" and seqs_cnt > 1 and fused \
+                and model_arch == "TactileSR":
+            self._fold_modes = ("per_seq", "grouped")
+            self._mode_for = lambda b: (
+                "per_seq" if b < BRANCH_GROUPED_MIN_BUCKET else "grouped"
+            )
+            self.branch_mode = (
+                f"auto (per_seq < {BRANCH_GROUPED_MIN_BUCKET} <= grouped)"
+            )
+        else:
+            mode = resolve_branch_mode(branch_mode, seqs_cnt)
+            self._fold_modes = (mode,)
+            self._mode_for = lambda b, _m=mode: _m
+            self.branch_mode = mode
         # data-parallel serving: batches shard over the mesh's data axis,
         # weights replicate; XLA compiles the per-device program, results
         # gather on fetch.  Buckets round up to data-axis multiples so every
@@ -128,7 +153,7 @@ class SRPredictor:
         if fused:
             if model_arch == "TactileSRCNN":
                 self._forward = lambda w, x: tactile_sr_cnn_infer(
-                    w, x, scale_factor=scale_factor
+                    w["cnn"], x, scale_factor=scale_factor
                 )
             else:
                 infer_kw = dict(
@@ -137,11 +162,18 @@ class SRPredictor:
                     axis_cnt=axis_cnt,
                     pattern_layers=pattern_layers,
                     force_layers=force_layers,
-                    branch_mode=self.branch_mode,
                 )
-                self._forward = lambda w, x: tactile_sr_infer(
-                    w, x, **infer_kw
-                )
+
+                def _fwd(w, x):
+                    # x is always padded to a bucket, so its leading dim
+                    # selects the bucket's formulation (one executable per
+                    # (bucket, mode); modes agree to f32 roundoff)
+                    mode = self._mode_for(x.shape[0])
+                    return tactile_sr_infer(
+                        w[mode], x, branch_mode=mode, **infer_kw
+                    )
+
+                self._forward = _fwd
         else:
             self._forward = jax.jit(
                 lambda v, x: self.model.apply(v, x, train=False)
@@ -188,21 +220,28 @@ class SRPredictor:
             )
             return
         # one-time host-side graph rewrite: BN fold + conv merge/split
-        # (models/inference.py); exact in f32, rounding-only in bf16
+        # (models/inference.py); exact in f32, rounding-only in bf16.
+        # self._folded maps mode -> folded layout (bucket-aware "auto"
+        # folds both; the weights are the same numbers rearranged)
         try:
             if self.model_arch == "TactileSRCNN":
-                folded = fold_inference_params_cnn(
-                    variables, dtype=jnp.dtype(self._compute_dtype)
-                )
+                folded = {
+                    "cnn": fold_inference_params_cnn(
+                        variables, dtype=jnp.dtype(self._compute_dtype)
+                    )
+                }
             else:
-                folded = fold_inference_params(
-                    variables,
-                    seqs_cnt=self._seqs_cnt,
-                    pattern_layers=self._pattern_layers,
-                    force_layers=self._force_layers,
-                    dtype=jnp.dtype(self._compute_dtype),
-                    branch_mode=self.branch_mode,
-                )
+                folded = {
+                    mode: fold_inference_params(
+                        variables,
+                        seqs_cnt=self._seqs_cnt,
+                        pattern_layers=self._pattern_layers,
+                        force_layers=self._force_layers,
+                        dtype=jnp.dtype(self._compute_dtype),
+                        branch_mode=mode,
+                    )
+                    for mode in self._fold_modes
+                }
         except KeyError as e:
             if not variables.get("batch_stats"):
                 raise KeyError(

@@ -171,10 +171,12 @@ def test_branch_mode_resolution_and_fold_structure():
 
 
 def test_predictor_branch_mode_auto_mtsr(tmp_path):
-    """SRPredictor resolves auto->dense for seqs>1 and the served output
-    matches the per_seq formulation on the same checkpoint."""
+    """SRPredictor's auto is BUCKET-aware for seqs>1 (per_seq below the
+    measured crossover, grouped at/above it) and every formulation serves
+    the same numbers on the same checkpoint; hot-swap works across the
+    dual-layout fold."""
     from tactilesr_tpu.runtime.checkpoint import save_checkpoint_file
-    from tactilesr_tpu.serving import SRPredictor
+    from tactilesr_tpu.serving import BRANCH_GROUPED_MIN_BUCKET, SRPredictor
 
     model = TactileSR(
         scale_factor=4, seqs_cnt=3, axis_cnt=3,
@@ -184,21 +186,37 @@ def test_predictor_branch_mode_auto_mtsr(tmp_path):
     x4 = jnp.zeros((1, 9, 4, 4))
     v = jax.device_get(_trained_like_variables(model, jax.random.key(10), x4))
     path = str(tmp_path / "mtsr.ckpt")
-    save_checkpoint_file(
-        path,
-        {
-            "num_devices": 1,
-            "model": {"params": v["params"], "batch_stats": v["batch_stats"]},
-            "epoch": 0,
-        },
-    )
+    bundle = {
+        "num_devices": 1,
+        "model": {"params": v["params"], "batch_stats": v["batch_stats"]},
+        "epoch": 0,
+    }
+    save_checkpoint_file(path, bundle)
     kw = dict(scale_factor=4, seqs_cnt=3, pattern_layers=1, force_layers=1,
-              compute_dtype="float32", buckets=(4,))
-    pred_auto = SRPredictor(path, **kw)
-    assert pred_auto.branch_mode == "grouped"
-    pred_ps = SRPredictor(path, branch_mode="per_seq", **kw)
+              compute_dtype="float32")
+    # buckets straddle the crossover: 4 serves per_seq, the big one grouped
+    pred_auto = SRPredictor(path, buckets=(4, BRANCH_GROUPED_MIN_BUCKET), **kw)
+    assert pred_auto.branch_mode.startswith("auto")
+    assert pred_auto._mode_for(4) == "per_seq"
+    assert pred_auto._mode_for(BRANCH_GROUPED_MIN_BUCKET) == "grouped"
+    assert set(pred_auto._folded) == {"per_seq", "grouped"}
+    pred_ps = SRPredictor(path, branch_mode="per_seq", buckets=(4,), **kw)
     assert pred_ps.branch_mode == "per_seq"
-    x = (np.random.default_rng(11).random((4, 9, 4, 4)) * 4).astype(np.float32)
+    rng11 = np.random.default_rng(11)
+    x = (rng11.random((4, 9, 4, 4)) * 4).astype(np.float32)
+    np.testing.assert_allclose(
+        pred_auto.predict(x), pred_ps.predict(x), rtol=1e-5, atol=1e-5
+    )
+    # a request filling the large bucket dispatches the grouped executable
+    # and still matches per_seq on the shared rows
+    xl = (rng11.random((BRANCH_GROUPED_MIN_BUCKET, 9, 4, 4)) * 4).astype(np.float32)
+    np.testing.assert_allclose(
+        pred_auto.predict(xl)[:4], pred_ps.predict(xl[:4]), rtol=1e-5, atol=1e-5
+    )
+    # hot-swap folds BOTH layouts and keeps serving
+    path2 = str(tmp_path / "mtsr2.ckpt")
+    save_checkpoint_file(path2, bundle)
+    pred_auto.reload_checkpoint(path2)
     np.testing.assert_allclose(
         pred_auto.predict(x), pred_ps.predict(x), rtol=1e-5, atol=1e-5
     )
